@@ -165,8 +165,50 @@ class DeviceField:
 
     # -- public vectorized ops --
 
+    # -- eager-call dispatch with shape bucketing ------------------------------
+    #
+    # The limb kernels are hundreds of primitive ops, so eager op-by-op
+    # dispatch would dominate runtime; jitting per exact shape would instead
+    # trigger a compile for every distinct polynomial length.  Eager calls are
+    # therefore flattened to (N, D), padded to a power-of-two bucket and run
+    # through a per-(op, bucket) jitted kernel (persistently cached on disk).
+    # Calls made while tracing (inside an outer jit, e.g. the NTT) inline the
+    # raw implementation: the enclosing jit already amortizes dispatch.
+
+    @staticmethod
+    def _is_traced(*arrays) -> bool:
+        return any(isinstance(x, jax.core.Tracer) for x in arrays)
+
+    @functools.cached_property
+    def _bucketed_kernels(self):
+        return {}
+
+    def _dispatch2(self, name: str, impl, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        if self._is_traced(a, b):
+            return impl(a, b)
+        D = self.num_digits
+        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        a = jnp.broadcast_to(a, shape + (D,)).reshape(-1, D)
+        b = jnp.broadcast_to(b, shape + (D,)).reshape(-1, D)
+        n = a.shape[0]
+        bucket = max(16, 1 << (n - 1).bit_length()) if n else 16
+        key = (name, bucket)
+        fn = self._bucketed_kernels.get(key)
+        if fn is None:
+            fn = jax.jit(impl)
+            self._bucketed_kernels[key] = fn
+        if n != bucket:
+            pad = ((0, bucket - n), (0, 0))
+            a = jnp.pad(a, pad)
+            b = jnp.pad(b, pad)
+        out = fn(a, b)
+        return out[:n].reshape(shape + (D,))
+
     def mont_mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product: returns a*b*R^{-1} mod p, canonical digits."""
+        return self._dispatch2("mul", self._mont_mul, a, b)
+
+    def _mont_mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         D = self.num_digits
         cols = self._conv_full(a, b)
         # exact low-half digits of T
@@ -185,16 +227,22 @@ class DeviceField:
     def mont_sqr(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mont_mul(a, a)
 
-    def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    def _add_impl(self, a, b):
         a, b = jnp.broadcast_arrays(a, b)
         s, carry = self._add_digits(a, b)
         return self._cond_sub_p(s, carry)
 
-    def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return self._dispatch2("add", self._add_impl, a, b)
+
+    def _sub_impl(self, a, b):
         a, b = jnp.broadcast_arrays(a, b)
         d, borrow = self._sub_digits(a, b)
         dp, _ = self._add_digits(d, self._p_np)
         return jnp.where((borrow > 0)[..., None], dp, d)
+
+    def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return self._dispatch2("sub", self._sub_impl, a, b)
 
     def neg(self, a: jnp.ndarray) -> jnp.ndarray:
         zero = jnp.zeros_like(a)
@@ -233,9 +281,35 @@ class DeviceField:
             n = a.shape[0]
         return a[0]
 
+    def _hillis_steele(self, op, a: jnp.ndarray, identity_row: np.ndarray, axis: int, reverse: bool) -> jnp.ndarray:
+        """Inclusive scan via log-depth doubling.
+
+        Unlike jax.lax.associative_scan (which unrolls ~2N combiner calls into
+        the graph — prohibitive when the combiner is a several-hundred-op limb
+        multiply), this emits only ceil(log2 N) vectorized combiner calls.
+        """
+        a = jnp.moveaxis(a, axis, 0)
+        if reverse:
+            a = jnp.flip(a, axis=0)
+        n = a.shape[0]
+        ident = jnp.broadcast_to(jnp.asarray(identity_row), a.shape[1:])
+        d = 1
+        while d < n:
+            shifted = jnp.concatenate(
+                [jnp.broadcast_to(ident[None], (d,) + a.shape[1:]), a[:-d]], axis=0
+            )
+            a = op(a, shifted)
+            d *= 2
+        if reverse:
+            a = jnp.flip(a, axis=0)
+        return jnp.moveaxis(a, 0, axis)
+
     def cumprod(self, a: jnp.ndarray, axis: int = 0, reverse: bool = False) -> jnp.ndarray:
-        """Inclusive cumulative field product via associative scan."""
-        return jax.lax.associative_scan(self.mont_mul, a, axis=axis, reverse=reverse)
+        """Inclusive cumulative field product (log-depth doubling scan)."""
+        return self._hillis_steele(self.mont_mul, a, self.one_np, axis, reverse)
+
+    def cumsum(self, a: jnp.ndarray, axis: int = 0, reverse: bool = False) -> jnp.ndarray:
+        return self._hillis_steele(self.add, a, self.zero_np, axis, reverse)
 
     def batch_inv(self, a: jnp.ndarray, host_inv) -> jnp.ndarray:
         """Montgomery-trick batch inversion over the leading axis.

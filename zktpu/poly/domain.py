@@ -1,0 +1,165 @@
+"""Radix-2 evaluation domains with device NTT/iNTT.
+
+Replaces the arkworks `GeneralEvaluationDomain` usage of the reference
+(plonk/src/circuit.rs:166-197, plonk/src/prover.rs:374-375,
+fri/src/fri_layer.rs:36-56) with a TPU-resident iterative Cooley-Tukey
+transform over limb-decomposed Montgomery field vectors.
+
+Conventions match arkworks Radix2EvaluationDomain so values agree
+element-for-element:
+  - size = next_power_of_two(requested)
+  - group_gen ω = TWO_ADIC_ROOT_OF_UNITY^(2^(two_adicity - log2 n))
+  - fft: coefficients -> [p(ω^0), ..., p(ω^{n-1})] in natural order
+  - ifft includes the 1/n scaling
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.host import FieldSpec
+from ..fields.fp import DeviceField, device_field, ints_to_digits
+
+
+def _bit_reverse_perm(n: int) -> np.ndarray:
+    log_n = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+class Radix2Domain:
+    def __init__(self, spec: FieldSpec, size: int):
+        assert size >= 1
+        n = 1 << (size - 1).bit_length() if size > 1 else 1
+        log_n = n.bit_length() - 1
+        if log_n > spec.two_adicity:
+            raise ValueError(f"domain size 2^{log_n} unsupported for {spec.name}")
+        self.spec = spec
+        self.df: DeviceField = device_field(spec)
+        self.size = n
+        self.log_n = log_n
+        self.group_gen = spec.root_of_unity(n)
+        self.group_gen_inv = spec.inv(self.group_gen) if n > 1 else 1
+        self.size_inv = spec.inv(n)
+        self._perm = _bit_reverse_perm(n)
+        self._fwd_tw = self._twiddle_stack(self.group_gen)
+        self._inv_tw = self._twiddle_stack(self.group_gen_inv)
+        self._fft_jit = jax.jit(functools.partial(self._transform, inverse=False))
+        self._ifft_jit = jax.jit(functools.partial(self._transform, inverse=True))
+
+    # -- host helpers --
+
+    def element(self, i: int) -> int:
+        return self.spec.pow(self.group_gen, i % self.size)
+
+    def elements_ints(self) -> list[int]:
+        out, cur = [], 1
+        for _ in range(self.size):
+            out.append(cur)
+            cur = self.spec.mul(cur, self.group_gen)
+        return out
+
+    def elements_device(self) -> jnp.ndarray:
+        """ω^i for i < n as a Montgomery digit array (computed via scan)."""
+        g = self.df.encode_int(self.group_gen)
+        arr = jnp.broadcast_to(g, (self.size, self.df.num_digits))
+        arr = jnp.concatenate([jnp.asarray(self.df.one_np)[None], arr[:-1]], axis=0)
+        return self.df.cumprod(arr, axis=0)
+
+    def evaluate_vanishing(self, z: int) -> int:
+        return (self.spec.pow(z, self.size) - 1) % self.spec.modulus
+
+    def _twiddle_stack(self, gen: int):
+        """Per-stage twiddle tables for the iterative DIT butterfly."""
+        spec = self.spec
+        tables = []
+        for s in range(1, self.log_n + 1):
+            m = 1 << s
+            w = spec.pow(gen, self.size // m)
+            cur, vals = 1, []
+            for _ in range(m // 2):
+                vals.append(spec.to_mont(cur))
+                cur = spec.mul(cur, w)
+            tables.append(
+                np.asarray(ints_to_digits(vals, spec.num_digits), dtype=np.uint32)
+            )
+        return tables
+
+    # -- device transforms --
+
+    def _transform(self, values: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        df = self.df
+        n = self.size
+        assert values.shape[-2] == n, (values.shape, n)
+        x = values[..., self._perm, :]
+        tables = self._inv_tw if inverse else self._fwd_tw
+        for s in range(1, self.log_n + 1):
+            m = 1 << s
+            half = m // 2
+            lead = x.shape[:-2]
+            xr = x.reshape(lead + (n // m, m, df.num_digits))
+            even = xr[..., :half, :]
+            odd = xr[..., half:, :]
+            t = df.mont_mul(odd, tables[s - 1])
+            x = jnp.concatenate([df.add(even, t), df.sub(even, t)], axis=-2)
+            x = x.reshape(lead + (n, df.num_digits))
+        if inverse:
+            n_inv = jnp.asarray(
+                ints_to_digits([self.spec.to_mont(self.size_inv)], df.num_digits)[0]
+            )
+            x = df.mont_mul(x, n_inv)
+        return x
+
+    def fft(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """coeffs: (..., m, D) with m <= n; zero-padded to n automatically."""
+        coeffs = self._pad(coeffs)
+        if self.size == 1:
+            return coeffs
+        return self._fft_jit(coeffs)
+
+    def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
+        assert evals.shape[-2] == self.size
+        if self.size == 1:
+            return evals
+        return self._ifft_jit(evals)
+
+    def _pad(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        m = coeffs.shape[-2]
+        if m == self.size:
+            return coeffs
+        assert m < self.size
+        pad = [(0, 0)] * coeffs.ndim
+        pad[-2] = (0, self.size - m)
+        return jnp.pad(coeffs, pad)
+
+    # -- coset transforms (offset g): evaluate/interpolate on g * <ω> --
+
+    @functools.lru_cache(maxsize=8)
+    def _offset_powers(self, offset: int) -> jnp.ndarray:
+        spec = self.spec
+        vals, cur = [], 1
+        for _ in range(self.size):
+            vals.append(spec.to_mont(cur))
+            cur = spec.mul(cur, offset)
+        return jnp.asarray(ints_to_digits(vals, spec.num_digits))
+
+    def coset_fft(self, coeffs: jnp.ndarray, offset: int) -> jnp.ndarray:
+        coeffs = self._pad(coeffs)
+        scaled = self.df.mont_mul(coeffs, self._offset_powers(offset))
+        return self.fft(scaled)
+
+    def coset_ifft(self, evals: jnp.ndarray, offset: int) -> jnp.ndarray:
+        coeffs = self.ifft(evals)
+        inv_off = self.spec.inv(offset)
+        return self.df.mont_mul(coeffs, self._offset_powers(inv_off))
+
+
+@functools.lru_cache(maxsize=None)
+def get_domain(spec: FieldSpec, size: int) -> Radix2Domain:
+    return Radix2Domain(spec, size)
