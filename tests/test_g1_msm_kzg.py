@@ -1,0 +1,110 @@
+"""Device G1 / Pippenger MSM / KZG tests.
+
+KZG coverage mirrors the reference suite (kzg/src/commitment.rs:14-120):
+commit round-trip with known secret incl. the algebraic identity
+C = [p(s)] G, scalar-mul homomorphism, aggregation, batch verification.
+"""
+import random
+
+import pytest
+
+from zktpu.fields import host
+from zktpu.curves import g1 as g1mod
+from zktpu.curves.g1 import FQD, jac_add, jac_double, jac_identity, host_points_to_device, jac_to_affine_host
+from zktpu.curves.host_curve import G1Affine
+from zktpu.curves.msm import msm
+from zktpu.kzg import Srs, KzgScheme
+from zktpu.poly.poly import Poly
+from zktpu.transcript.chacha import StdRng
+
+G = G1Affine.generator()
+
+
+def test_device_point_ops_match_host():
+    pts = [G.mul(k) for k in (1, 2, 3, 7, 1)] + [G1Affine.identity()]
+    P = host_points_to_device(pts)
+    # pairwise add against host
+    Q = host_points_to_device([pts[5], pts[0], pts[2], pts[2], G.mul(host.FR_MODULUS - 1), G1Affine.identity()])
+    R = jac_add(FQD, P, Q)
+    got = jac_to_affine_host(R)
+    want = [a + b for a, b in zip(pts, [pts[5], pts[0], pts[2], pts[2], G.mul(host.FR_MODULUS - 1), G1Affine.identity()])]
+    assert got == want  # covers: +inf, add, double-case (3+3), P+(-P), inf+inf
+
+    Dd = jac_double(FQD, P)
+    assert jac_to_affine_host(Dd) == [p + p for p in pts]
+
+
+def test_fixed_base_mul():
+    rng = random.Random(5)
+    scalars = [0, 1, 2, host.FR_MODULUS - 1] + [rng.randrange(host.FR_MODULUS) for _ in range(4)]
+    R = g1mod.fixed_base_mul(G, scalars)
+    assert jac_to_affine_host(R) == [G.mul(s) for s in scalars]
+
+
+@pytest.mark.parametrize("n,c", [(1, 4), (5, 4), (33, 4), (70, 8)])
+def test_msm_matches_naive(n, c):
+    rng = random.Random(n)
+    scalars = [rng.randrange(host.FR_MODULUS) for _ in range(n)]
+    scalars[0] = 0  # zero-scalar lane
+    base_pts = [G.mul(rng.randrange(1, 2**20)) for _ in range(n)]
+    P = host_points_to_device(base_pts)
+    got = msm(scalars, P, c=c)
+    want = G1Affine.identity()
+    for s, pt in zip(scalars, base_pts):
+        want = want + pt.mul(s)
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def scheme10():
+    return KzgScheme(Srs.new_from_secret(2, 10))
+
+
+def test_kzg_commit_known_secret(scheme10):
+    # kzg/src/commitment.rs:40-62 with secret s = 2
+    poly = Poly.from_ints(host.FR, [1, 2, 3])
+    commitment = scheme10.commit(poly)
+    assert poly.evaluate(1) == 6
+    assert commitment.point == G.mul(poly.evaluate(2))  # C = [p(s)]G
+    opening = scheme10.open(poly, 1)
+    assert opening.evaluation == 6
+    assert scheme10.verify(commitment, opening, 1)
+    # tampered opening must fail
+    bad = type(opening)(opening.point, 7)
+    assert not scheme10.verify(commitment, bad, 1)
+
+
+def test_kzg_scalar_mul_homomorphism(scheme10):
+    poly = Poly.from_ints(host.FR, [1, 2, 3, 4, 5])
+    c1 = scheme10.commit(poly)
+    factor = 9
+    c2 = scheme10.commit(poly.scale(factor))
+    assert c1.mul(factor) == c2
+
+
+def test_kzg_aggregate(scheme10):
+    f1 = Poly.from_ints(host.FR, [1, 2, 3, 4, 5])
+    f2 = Poly.from_ints(host.FR, [1, 2, 3, 4, 8])
+    c1, c2 = scheme10.commit(f1), scheme10.commit(f2)
+    ch = 77777
+    batch = KzgScheme.aggregate_commitments([c1, c2], ch)
+    assert batch.point == c1.point + c2.point.mul(ch)
+
+
+def test_kzg_batch_verify(scheme10):
+    polys = [
+        Poly.from_ints(host.FR, c)
+        for c in ([1, 2, 3, 4, 5], [1, 8, 3, 4, 8], [12, 8, 3, 9, 8], [95, 8, 0, 9, 8], [12, 0, 3, 9, 0])
+    ]
+    zs = [12, 4, 2003, 13, 9]
+    openings = [scheme10.open(f, z) for f, z in zip(polys, zs)]
+    commits = [scheme10.commit(f) for f in polys]
+    assert scheme10.batch_verify(commits, zs, openings, StdRng.from_seed_u64(99))
+    # corrupt one evaluation
+    openings[2] = type(openings[2])(openings[2].point, openings[2].evaluation + 1)
+    assert not scheme10.batch_verify(commits, zs, openings, StdRng.from_seed_u64(99))
+
+
+def test_kzg_commit_empty(scheme10):
+    # commit on empty poly -> identity (scheme.rs:94 unwrap_or zero)
+    assert scheme10.commit(Poly.zero(host.FR)).point.infinity

@@ -71,22 +71,50 @@ def digits_to_ints(digits: np.ndarray) -> list[int]:
     return out
 
 
+def _shift_digits(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Shift toward higher digit indices by d (zero fill), same width."""
+    pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
+    return jnp.concatenate([pad, x[..., :-d]], axis=-1)
+
+
+def _ks_resolve(v: jnp.ndarray):
+    """Resolve values v (each < 2^17) into base-2^16 digits via Kogge-Stone
+    carry-lookahead: log-depth instead of a sequential ripple, which keeps
+    XLA graphs small (compile time) and the dependency chain shallow.
+
+    Returns (digits (..., K) uint32, value-at-top-after-carry (...,) uint32).
+    """
+    K = v.shape[-1]
+    g = v >> 16 != 0  # generate (binary: v < 2^17)
+    p = (v & _MASK) == _MASK  # propagate
+    G, Pp = g, p
+    d = 1
+    while d < K:
+        G = G | (Pp & _shift_digits(G, d))
+        Pp = Pp & _shift_digits(Pp, d)
+        d *= 2
+    carry_in = _shift_digits(G, 1).astype(_U32)
+    out = v + carry_in
+    return out & _MASK, out[..., -1] >> 0
+
+
 def _carry_digits(cols: jnp.ndarray, num_out: int):
-    """Exact carry propagation: column sums (< 2^32) -> base-2^16 digits.
+    """Exact carry propagation: column sums (< 2^31 - slack) -> base-2^16 digits.
 
     Returns (digits: (..., num_out) uint32, carry_out: (...,) uint32).
-    Sequential over digit index (cheap scalar-ish chain, vectorized over batch).
+    Two-phase: fold the multi-bit column carries once (after which every value
+    is < 2^17), then resolve the remaining binary carries in log depth.
     """
     k_in = cols.shape[-1]
-    carry = jnp.zeros(cols.shape[:-1], dtype=_U32)
-    outs = []
-    for k in range(num_out):
-        v = carry
-        if k < k_in:
-            v = v + cols[..., k]
-        outs.append(v & _MASK)
-        carry = v >> 16
-    return jnp.stack(outs, axis=-1), carry
+    assert k_in <= num_out, (k_in, num_out)
+    W = num_out + 1
+    if k_in < W:
+        cols = jnp.pad(cols, [(0, 0)] * (cols.ndim - 1) + [(0, W - k_in)])
+    d = cols & _MASK
+    c = cols >> 16
+    v = d + _shift_digits(c, 1)  # each < 2^17
+    digits, top = _ks_resolve(v)
+    return digits[..., :num_out], top
 
 
 class DeviceField:
@@ -108,52 +136,51 @@ class DeviceField:
 
     # -- low-level building blocks (pure jnp, safe under jit) --
 
+    def _antidiag_sums(self, M: jnp.ndarray) -> jnp.ndarray:
+        """Anti-diagonal sums of (..., D, D): out[k] = sum_{i+j=k} M[i, j].
+
+        Uses the skewed-reshape trick: pad rows to width 2D, flatten, pad the
+        tail to (D+1)*(2D-1) and reshape to (D+1, 2D-1) — element (i, j) lands
+        in column (i*2D + j) mod (2D-1) = i+j, so a single axis-sum yields all
+        2D-1 anti-diagonals.  ~6 tensor ops instead of O(D) slice-updates.
+        """
+        D = self.num_digits
+        lead = M.shape[:-2]
+        Mp = jnp.pad(M, [(0, 0)] * len(lead) + [(0, 0), (0, D)])
+        flat = Mp.reshape(lead + (2 * D * D,))
+        flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(0, D - 1)])
+        skew = flat.reshape(lead + (D + 1, 2 * D - 1))
+        return jnp.sum(skew, axis=-2, dtype=_U32)
+
     def _conv_full(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Schoolbook product columns of two D-digit numbers -> (..., 2D) uint32."""
         D = self.num_digits
-        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        acc = jnp.zeros(shape + (2 * D,), dtype=_U32)
-        for i in range(D):
-            prod = a[..., i : i + 1] * b  # (..., D) exact 32-bit products
-            acc = acc.at[..., i : i + D].add(prod & _MASK)
-            acc = acc.at[..., i + 1 : i + 1 + D].add(prod >> 16)
-        return acc
+        prod = a[..., :, None] * jnp.asarray(b, _U32)[..., None, :]  # (..., D, D)
+        clo = self._antidiag_sums(prod & _MASK)  # (..., 2D-1)
+        chi = self._antidiag_sums(prod >> 16)
+        pad_spec = [(0, 0)] * (clo.ndim - 1)
+        cols = jnp.pad(clo, pad_spec + [(0, 1)]) + jnp.pad(chi, pad_spec + [(1, 0)])
+        return cols
 
     def _conv_low(self, a: jnp.ndarray, b_const: np.ndarray) -> jnp.ndarray:
         """Low D columns of a * b_const (b constant digits)."""
         D = self.num_digits
-        acc = jnp.zeros(a.shape[:-1] + (D,), dtype=_U32)
-        for i in range(D):
-            width = D - i
-            prod = a[..., i : i + 1] * b_const[:width]
-            acc = acc.at[..., i:D].add(prod & _MASK)
-            if i + 1 < D:
-                acc = acc.at[..., i + 1 : D].add((prod >> 16)[..., : width - 1])
-        return acc
+        return self._conv_full(a, jnp.asarray(b_const, _U32))[..., :D]
 
     def _sub_digits(self, a: jnp.ndarray, b) -> tuple[jnp.ndarray, jnp.ndarray]:
         """a - b over D digits; returns (result mod R, borrow_out in {0,1})."""
-        D = self.num_digits
-        borrow = jnp.zeros(a.shape[:-1], dtype=_U32)
-        outs = []
-        for k in range(D):
-            bk = b[..., k] if isinstance(b, jnp.ndarray) else jnp.asarray(b[k], _U32)
-            # v = a_k + 2^16 - b_k - borrow  (in [0, 2^17))
-            v = a[..., k] + (jnp.asarray(0x10000, _U32) - bk) - borrow
-            outs.append(v & _MASK)
-            borrow = 1 - (v >> 16)  # 1 if a_k - b_k - borrow < 0
-        return jnp.stack(outs, axis=-1), borrow
+        b = jnp.asarray(b, _U32)
+        # two's complement: a + (R-1 - b) + 1; all lanes < 2^17
+        v = a + (jnp.asarray(_MASK, _U32) - b)
+        v = v.at[..., 0].add(1)
+        digits, top = _ks_resolve(v)
+        carry_out = top >> 16  # 1 iff a >= b
+        return digits, (1 - carry_out).astype(_U32)
 
     def _add_digits(self, a: jnp.ndarray, b) -> tuple[jnp.ndarray, jnp.ndarray]:
-        D = self.num_digits
-        carry = jnp.zeros(a.shape[:-1], dtype=_U32)
-        outs = []
-        for k in range(D):
-            bk = b[..., k] if isinstance(b, jnp.ndarray) else jnp.asarray(b[k], _U32)
-            v = a[..., k] + bk + carry
-            outs.append(v & _MASK)
-            carry = v >> 16
-        return jnp.stack(outs, axis=-1), carry
+        v = a + jnp.asarray(b, _U32)  # each < 2^17
+        digits, top = _ks_resolve(v)
+        return digits, top >> 16
 
     def _cond_sub_p(self, a: jnp.ndarray, carry_top: jnp.ndarray) -> jnp.ndarray:
         """Reduce value = carry_top * R + a (< 2p) into [0, p)."""

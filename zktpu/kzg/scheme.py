@@ -1,0 +1,152 @@
+"""KZG polynomial commitment scheme (mirrors kzg/src/scheme.rs semantics).
+
+commit / commit_vector / commit_para / open / open_vector / verify /
+aggregate_commitments / batch_verify.  The per-coefficient MSM of the
+reference (scheme.rs:84-96) is replaced by the device Pippenger MSM; openings
+use the scan-based linear division (kzg/src/scheme.rs:108-120 semantics).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..fields.host import FR
+from ..fields.fp import device_field
+from ..poly.poly import Poly
+from ..curves import g1 as g1mod
+from ..curves.host_curve import G1Affine
+from ..curves.msm import msm_jacobian
+from ..curves.pairing import pairing_product, Fq12
+from ..transcript.chacha import StdRng
+from .srs import Srs
+
+FRD = device_field(FR)
+
+
+class KzgCommitment:
+    __slots__ = ("point",)
+
+    def __init__(self, point: G1Affine):
+        self.point = point
+
+    # transcript feeding interface (x, y, infinity)
+    @property
+    def x(self):
+        return self.point.x
+
+    @property
+    def y(self):
+        return self.point.y
+
+    @property
+    def infinity(self):
+        return self.point.infinity
+
+    def inner(self) -> G1Affine:
+        return self.point
+
+    def __add__(self, other):
+        return KzgCommitment(self.point + other.point)
+
+    def __sub__(self, other):
+        return KzgCommitment(self.point - other.point)
+
+    def __neg__(self):
+        return KzgCommitment(-self.point)
+
+    def mul(self, k: int) -> "KzgCommitment":
+        return KzgCommitment(self.point.mul(k))
+
+    def __eq__(self, other):
+        return isinstance(other, KzgCommitment) and self.point == other.point
+
+    def __repr__(self):
+        return f"KzgCommitment({'inf' if self.point.infinity else hex(self.point.x)[:14]}...)"
+
+
+class KzgOpening:
+    __slots__ = ("point", "evaluation")
+
+    def __init__(self, point: G1Affine, evaluation: int):
+        self.point = point
+        self.evaluation = evaluation
+
+    def eval(self) -> int:
+        return self.evaluation
+
+
+def _mont_digits_to_u32(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """(N, 16) Montgomery digit array -> (N, 8) canonical u32 limbs, on device."""
+    raw = FRD.from_mont(coeffs)
+    lo = raw[..., 0::2]
+    hi = raw[..., 1::2]
+    return lo | (hi << 16)
+
+
+class KzgScheme:
+    def __init__(self, srs: Srs):
+        self.srs = srs
+
+    def commit(self, polynomial: Poly) -> KzgCommitment:
+        return self.commit_coeffs(polynomial.coeffs)
+
+    def commit_coeffs(self, coeffs: jnp.ndarray) -> KzgCommitment:
+        n = coeffs.shape[0]
+        assert self.srs.size > max(n - 1, 0), "polynomial degree exceeds SRS"
+        if n == 0:
+            return KzgCommitment(G1Affine.identity())
+        sc = _mont_digits_to_u32(coeffs)
+        X, Y, Z = self.srs.g1_jac
+        from ..curves.msm import pad_msm_inputs, pick_window
+
+        c = pick_window(n)
+        sc, Xp, Yp, Zp = pad_msm_inputs(sc, X[:n], Y[:n], Z[:n])
+        R = msm_jacobian(sc, Xp, Yp, Zp, c=c)
+        pt = g1mod.jac_to_affine_host(tuple(a[None] for a in R))[0]
+        return KzgCommitment(pt)
+
+    def commit_vector(self, coeffs: list[int]) -> KzgCommitment:
+        return self.commit(Poly.from_ints(FR, coeffs))
+
+    def commit_para(self, para: int) -> KzgCommitment:
+        g1_0 = self.srs.g1_points_host()[0]
+        return KzgCommitment(g1_0.mul(para))
+
+    def open(self, polynomial: Poly, z: int) -> KzgOpening:
+        quotient, evaluation = polynomial.divide_by_linear(z)
+        opening_pt = self.commit(quotient).point
+        return KzgOpening(opening_pt, evaluation)
+
+    def open_vector(self, coeffs: list[int], z: int) -> KzgOpening:
+        return self.open(Poly.from_ints(FR, coeffs), z)
+
+    def verify(self, commitment: KzgCommitment, opening: KzgOpening, z: int) -> bool:
+        """e([Q], [x]_2 - z[1]_2) == e([P] - y[1]_1, [1]_2)  (scheme.rs:155-171)."""
+        g2s = self.srs.g2s()
+        g2 = self.srs.g2()
+        a = g2s - g2.mul(z)
+        b = commitment.point - G1Affine.generator().mul(opening.evaluation)
+        return pairing_product([(opening.point, a), (-b, g2)]) == Fq12.one()
+
+    @staticmethod
+    def aggregate_commitments(commitments, challenge: int) -> KzgCommitment:
+        acc = G1Affine.identity()
+        pw = 1
+        for c in commitments:
+            acc = acc + c.point.mul(pw)
+            pw = FR.mul(pw, challenge)
+        return KzgCommitment(acc)
+
+    def batch_verify(self, commitments, points, openings, rng: StdRng) -> bool:
+        """Random-linear-combination batch check (scheme.rs:215-245)."""
+        assert len(commitments) == len(points) == len(openings)
+        g = G1Affine.generator()
+        e1 = G1Affine.identity()
+        e2 = G1Affine.identity()
+        for cm, z, op in zip(commitments, points, openings):
+            w, s = op.point, op.evaluation
+            cm_minus_s = cm.point - g.mul(s)
+            z_mul_w = w.mul(z)
+            r_prime = rng.gen_u128() % FR.modulus  # Fr::from(rng.gen::<u128>())
+            e1 = e1 + (cm_minus_s + z_mul_w).mul(r_prime)
+            e2 = e2 + w.mul(r_prime)
+        return pairing_product([(e1, self.srs.g2()), (-e2, self.srs.g2s())]) == Fq12.one()

@@ -1,0 +1,63 @@
+"""Structured reference string (trusted setup) for the KZG scheme.
+
+Mirrors kzg/src/srs.rs: `new` samples a random secret (thread_rng there, OS
+entropy here), `new_from_secret` deterministically builds
+[G, sG, s^2 G, ..., s^{size+2} G] (size + 3 points, srs.rs:51) plus G2 and
+s*G2.  The G1 powers are produced on-device with a windowed fixed-base
+batch multiply instead of the reference's sequential per-point loop.
+"""
+from __future__ import annotations
+
+import secrets
+
+from ..fields.host import FR
+from ..curves import g1
+from ..curves.host_curve import G1Affine, G2Affine
+
+
+class Srs:
+    def __init__(self, g1_jac, g2: G2Affine, g2s: G2Affine, size: int, secret: int | None = None):
+        # g1_jac: device Jacobian arrays (X, Y, Z) each (size, D)
+        self.g1_jac = g1_jac
+        self._g2 = g2
+        self._g2s = g2s
+        self.size = size
+        self._secret = secret  # retained only when constructed from a known secret
+        self._g1_host: list[G1Affine] | None = None
+
+    @classmethod
+    def new(cls, circuit_size: int) -> "Srs":
+        secret = secrets.randbelow(FR.modulus)
+        return cls.new_from_secret(secret, circuit_size)
+
+    @classmethod
+    def new_from_secret(cls, secret: int, circuit_size: int) -> "Srs":
+        n = circuit_size + 3
+        powers, cur = [], 1
+        for _ in range(n):
+            powers.append(cur)
+            cur = FR.mul(cur, secret)
+        pts = g1.fixed_base_mul(G1Affine.generator(), powers)
+        g2 = G2Affine.generator()
+        g2s = g2.mul(secret)
+        return cls(pts, g2, g2s, n, secret)
+
+    def g1_points_host(self) -> list[G1Affine]:
+        if self._g1_host is None:
+            self._g1_host = g1.jac_to_affine_host(self.g1_jac)
+        return self._g1_host
+
+    def g2(self) -> G2Affine:
+        return self._g2
+
+    def g2s(self) -> G2Affine:
+        return self._g2s
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Srs)
+            and self.size == other.size
+            and self.g2() == other.g2()
+            and self.g2s() == other.g2s()
+            and self.g1_points_host() == other.g1_points_host()
+        )
