@@ -1,0 +1,354 @@
+"""PLONK prover: the 5-round protocol of plonk/src/prover.rs:61-293, with the
+hot loops redesigned for TPU:
+
+  - grand-product accumulator z(x): evaluation-form ratios + batched field
+    inversion + log-depth cumulative product, replacing the O(n^2)
+    coefficient-space loop of compute_acc (prover.rs:302-377);
+  - quotient t(X): NTT-based polynomial products + the strided vanishing
+    division, replacing dense coefficient convolutions (prover.rs:381-444);
+  - openings: scan-based division by (X - z) (prover.rs:214-265 semantics,
+    including the panic on non-exact division for a bad witness).
+
+Committed polynomials are identical to the reference's; with the same
+blinding scalars the proofs agree point-for-point.
+"""
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from ..fields.host import FR
+from ..fields.fp import device_field
+from ..kzg.scheme import KzgCommitment, KzgScheme
+from ..poly.domain import get_domain
+from ..poly.poly import Poly, poly_from_evals
+from ..transcript.ark_rand import fp_rand
+from ..transcript.chacha import StdRng
+from ..transcript.transcripts import PlonkChallengeGenerator
+from .constraint import CompiledCircuit
+from .slice_polynomial import SlicePoly
+
+FRD = device_field(FR)
+
+
+@dataclass
+class Proof:
+    a_commit: KzgCommitment
+    b_commit: KzgCommitment
+    c_commit: KzgCommitment
+    z_commit: KzgCommitment
+    t_lo_commit: KzgCommitment
+    t_mid_commit: KzgCommitment
+    t_hi_commit: KzgCommitment
+    w_ev_x_commit: KzgCommitment
+    w_ev_wx_commit: KzgCommitment
+    bar_a: int
+    bar_b: int
+    bar_c: int
+    bar_s_sigma_1: int
+    bar_s_sigma_2: int
+    bar_z_w: int
+    u: int
+    degree: int
+
+
+def generate_proof(
+    compiled_circuit: CompiledCircuit,
+    srs,
+    rng: StdRng | None = None,
+) -> Proof:
+    """rng: source for the 9 blinding scalars (reference: StdRng::from_entropy,
+    prover.rs:68); inject a seeded StdRng for deterministic proofs."""
+    if rng is None:
+        rng = StdRng(secrets.token_bytes(32))
+    scheme = KzgScheme(srs)
+    n = compiled_circuit.size
+    dom = get_domain(FR, n)
+    gc = compiled_circuit.gate_constraints
+    cc = compiled_circuit.copy_constraints
+
+    # ---- Round 1 (prover.rs:64-92) ----
+    b = [fp_rand(FR, rng) for _ in range(6)]
+    pre1 = Poly.from_ints(FR, [b[1], b[0]])
+    pre2 = Poly.from_ints(FR, [b[3], b[2]])
+    pre3 = Poly.from_ints(FR, [b[5], b[4]])
+
+    ax = gc.f_ax + pre1.mul_by_vanishing(n)
+    bx = gc.f_bx + pre2.mul_by_vanishing(n)
+    cx = gc.f_cx + pre3.mul_by_vanishing(n)
+
+    a_commit = scheme.commit(ax)
+    b_commit = scheme.commit(bx)
+    c_commit = scheme.commit(cx)
+
+    # ---- Round 2 (prover.rs:94-127) ----
+    challenge = PlonkChallengeGenerator()
+    challenge.feed(a_commit)
+    challenge.feed(b_commit)
+    challenge.feed(c_commit)
+    beta, gamma = challenge.generate_challenges(2)
+
+    b7, b8, b9 = (fp_rand(FR, rng) for _ in range(3))
+    pre4 = Poly.from_ints(FR, [b9, b8, b7]).mul_by_vanishing(n)
+    w = dom.element(1)
+    pre4w = Poly.from_ints(
+        FR, [b9, FR.mul(b8, w), FR.mul(b7, dom.element(2))]
+    ).mul_by_vanishing(n)
+
+    acc_x, acc_wx = compute_acc(beta, gamma, dom, compiled_circuit)
+    z_x = pre4 + acc_x
+    z_wx = pre4w + acc_wx
+    z_commit = scheme.commit(z_x)
+
+    # ---- Round 3 (prover.rs:129-150) ----
+    challenge.feed(z_commit)
+    (alpha,) = challenge.generate_challenges(1)
+    tx = compute_quotient_polynomial(
+        beta, gamma, alpha, ax, bx, cx, z_x, z_wx, dom, compiled_circuit
+    )
+    slice_poly = SlicePoly(tx)
+    t_lo_commit, t_mid_commit, t_hi_commit = slice_poly.commit(scheme)
+
+    # ---- Round 4 (prover.rs:152-178) ----
+    challenge.feed(t_lo_commit)
+    challenge.feed(t_mid_commit)
+    challenge.feed(t_hi_commit)
+    (zeta,) = challenge.generate_challenges(1)
+
+    bar_a = ax.evaluate(zeta)
+    bar_b = bx.evaluate(zeta)
+    bar_c = cx.evaluate(zeta)
+    bar_s_sigma_1 = cc.s_sigma_1.evaluate(zeta)
+    bar_s_sigma_2 = cc.s_sigma_2.evaluate(zeta)
+    bar_z_w = z_x.evaluate(FR.mul(zeta, w))
+    pi_e = gc.pi_x.evaluate(zeta)
+    tx_compact = slice_poly.compact(zeta)
+
+    # ---- Round 5 (prover.rs:180-272) ----
+    for val in (bar_a, bar_b, bar_c, bar_s_sigma_1, bar_s_sigma_2, bar_z_w):
+        challenge.feed(scheme.commit_para(val))
+    (v,) = challenge.generate_challenges(1)
+
+    r_x = compute_linearisation_polynomial(
+        beta, gamma, alpha, zeta,
+        bar_a, bar_b, bar_c, bar_s_sigma_1, bar_s_sigma_2, bar_z_w,
+        pi_e, tx_compact, z_x, ax, bx, cx, z_wx, dom, compiled_circuit,
+    )
+    bar_r = r_x.evaluate(zeta)
+
+    w_ev_x = (
+        _sub_para(r_x, bar_r)
+        + _sub_para(ax, bar_a).scale(v)
+        + _sub_para(bx, bar_b).scale(FR.pow(v, 2))
+        + _sub_para(cx, bar_c).scale(FR.pow(v, 3))
+        + _sub_para(cc.s_sigma_1, bar_s_sigma_1).scale(FR.pow(v, 4))
+        + _sub_para(cc.s_sigma_2, bar_s_sigma_2).scale(FR.pow(v, 5))
+    )
+    w_ev_x, rem = w_ev_x.divide_by_linear(zeta)
+    assert rem == 0, "w_ev_x was computed incorrectly"
+
+    w_ev_wx = _sub_para(z_x, bar_z_w)
+    w_ev_wx, rem = w_ev_wx.divide_by_linear(FR.mul(zeta, w))
+    assert rem == 0, "w_ev_wx was computed incorrectly"
+
+    w_ev_x_commit = scheme.commit(w_ev_x)
+    w_ev_wx_commit = scheme.commit(w_ev_wx)
+    challenge.feed(w_ev_x_commit)
+    challenge.feed(w_ev_wx_commit)
+    (u,) = challenge.generate_challenges(1)
+
+    return Proof(
+        a_commit, b_commit, c_commit, z_commit,
+        t_lo_commit, t_mid_commit, t_hi_commit,
+        w_ev_x_commit, w_ev_wx_commit,
+        bar_a, bar_b, bar_c, bar_s_sigma_1, bar_s_sigma_2, bar_z_w,
+        u, slice_poly.get_degree(),
+    )
+
+
+def _sub_para(poly: Poly, para: int) -> Poly:
+    return poly - Poly.constant(FR, para)
+
+
+def compute_acc(beta: int, gamma: int, dom, compiled_circuit: CompiledCircuit):
+    """Grand product z over the domain, in evaluation form.
+
+    acc_e[0] = 1;  acc_e[i] = prod_{j<i} num_j / den_j  with
+    num_j = (a_j + beta w^j + gamma)(b_j + beta k1 w^j + gamma)(c_j + beta k2 w^j + gamma)
+    den_j analogous with the sigma evaluations.  Matches the values the
+    reference computes with per-step polynomial evaluation (prover.rs:302-377).
+    """
+    cc = compiled_circuit.copy_constraints
+    gc = compiled_circuit.gate_constraints
+    n = compiled_circuit.size
+    df = FRD
+
+    roots = dom.elements_device()  # (n, D)
+    a_e = _eval_padded(gc.evals["a"], n)
+    b_e = _eval_padded(gc.evals["b"], n)
+    c_e = _eval_padded(gc.evals["c"], n)
+    s1 = cc.evals["s1"]
+    s2 = cc.evals["s2"]
+    s3 = cc.evals["s3"]
+
+    beta_d = df.encode_int(beta)
+    gamma_d = df.encode_int(gamma)
+    k1_d = df.encode_int(cc.k1)
+    k2_d = df.encode_int(cc.k2)
+
+    broots = df.mont_mul(roots, beta_d)
+    num = df.mont_mul(
+        df.mont_mul(
+            df.add(df.add(a_e, broots), gamma_d),
+            df.add(df.add(b_e, df.mont_mul(broots, k1_d)), gamma_d),
+        ),
+        df.add(df.add(c_e, df.mont_mul(broots, k2_d)), gamma_d),
+    )
+    den = df.mont_mul(
+        df.mont_mul(
+            df.add(df.add(a_e, df.mont_mul(s1, beta_d)), gamma_d),
+            df.add(df.add(b_e, df.mont_mul(s2, beta_d)), gamma_d),
+        ),
+        df.add(df.add(c_e, df.mont_mul(s3, beta_d)), gamma_d),
+    )
+    den_inv = df.batch_inv(den, host_inv=FR.inv)
+    ratio = df.mont_mul(num, den_inv)
+    prefix = df.cumprod(ratio, axis=0)  # inclusive
+    one = jnp.asarray(df.one_np)[None]
+    acc_e = jnp.concatenate([one, prefix[: n - 1]], axis=0)
+    acc_e_shifted = jnp.concatenate([acc_e[1:], acc_e[:1]], axis=0)  # rotate_left(1)
+    acc = poly_from_evals(dom, acc_e)
+    acc_w = poly_from_evals(dom, acc_e_shifted)
+    return acc, acc_w
+
+
+def _eval_padded(arr: jnp.ndarray, n: int) -> jnp.ndarray:
+    if arr.shape[0] == n:
+        return arr
+    return jnp.pad(arr, ((0, n - arr.shape[0]), (0, 0)))
+
+
+def _div_vanishing_exact(poly: Poly, n: int) -> Poly:
+    q, r = poly.divide_by_vanishing(n)
+    if not r.is_zero():
+        raise AssertionError("has remainder")  # reference expect("No remainder")
+    return q
+
+
+def compute_quotient_polynomial(
+    beta, gamma, alpha, ax: Poly, bx: Poly, cx: Poly, z_x: Poly, z_wx: Poly, dom, compiled_circuit
+) -> Poly:
+    cc = compiled_circuit.copy_constraints
+    gc = compiled_circuit.gate_constraints
+    n = compiled_circuit.size
+
+    line1 = (
+        (ax * bx) * gc.q_mx
+        + ax * gc.q_lx
+        + bx * gc.q_rx
+        + cx * gc.q_ox
+        + gc.pi_x
+        + gc.q_cx
+    )
+    quotient1 = _div_vanishing_exact(line1, n)
+
+    gb = Poly.from_ints(FR, [gamma, beta])
+    gbk1 = Poly.from_ints(FR, [gamma, FR.mul(beta, cc.k1)])
+    gbk2 = Poly.from_ints(FR, [gamma, FR.mul(beta, cc.k2)])
+    line2 = (((ax + gb) * (bx + gbk1)) * (cx + gbk2) * z_x).scale(alpha)
+
+    gconst = Poly.constant(FR, gamma)
+    line3 = (
+        ((ax + cc.s_sigma_1.scale(beta) + gconst) * (bx + cc.s_sigma_2.scale(beta) + gconst))
+        * (cx + cc.s_sigma_3.scale(beta) + gconst)
+        * z_wx
+    ).scale(alpha)
+
+    quotient23 = _div_vanishing_exact(line2 - line3, n)
+
+    l1 = l1_poly(dom)
+    line4 = ((z_x - Poly.constant(FR, 1)) * l1).scale(FR.mul(alpha, alpha))
+    quotient4 = _div_vanishing_exact(line4, n)
+
+    return quotient1 + quotient23 + quotient4
+
+
+def l1_poly(dom) -> Poly:
+    n = dom.size
+    e = FRD.encode_ints([1] + [0] * (n - 1))
+    return poly_from_evals(dom, e)
+
+
+def compute_linearisation_polynomial(
+    beta, gamma, alpha, zeta,
+    bar_a, bar_b, bar_c, bar_s_sigma_1, bar_s_sigma_2, bar_z_w,
+    pi_e, tx_compact: Poly, z_x: Poly, ax: Poly, bx: Poly, cx: Poly, z_wx: Poly,
+    dom, compiled_circuit: CompiledCircuit,
+) -> Poly:
+    cc = compiled_circuit.copy_constraints
+    gc = compiled_circuit.gate_constraints
+
+    line1 = (
+        gc.q_mx.scale(FR.mul(bar_a, bar_b))
+        + gc.q_lx.scale(bar_a)
+        + gc.q_rx.scale(bar_b)
+        + gc.q_ox.scale(bar_c)
+        + gc.q_cx
+        + Poly.constant(FR, pi_e)
+    )
+
+    l2s = alpha
+    for t in (
+        FR.add(FR.add(bar_a, FR.mul(beta, zeta)), gamma),
+        FR.add(FR.add(bar_b, FR.mul(FR.mul(beta, cc.k1), zeta)), gamma),
+        FR.add(FR.add(bar_c, FR.mul(FR.mul(beta, cc.k2), zeta)), gamma),
+    ):
+        l2s = FR.mul(l2s, t)
+    line2 = z_x.scale(l2s)
+
+    l3s = FR.mul(
+        FR.mul(
+            FR.add(FR.add(bar_a, FR.mul(beta, bar_s_sigma_1)), gamma),
+            FR.add(FR.add(bar_b, FR.mul(beta, bar_s_sigma_2)), gamma),
+        ),
+        FR.mul(bar_z_w, alpha),
+    )
+    tmp2 = cc.s_sigma_3.scale(beta) + Poly.constant(FR, FR.add(bar_c, gamma))
+    line3 = tmp2.scale(l3s)
+
+    # reference sanity check (prover.rs:514-553), done on evaluations (the
+    # polynomial products there are only ever evaluated at zeta)
+    ev = lambda p: p.evaluate(zeta)
+    line22 = FR.mul(
+        FR.mul(
+            FR.mul(
+                FR.add(ev(ax), FR.add(gamma, FR.mul(beta, zeta))),
+                FR.add(ev(bx), FR.add(gamma, FR.mul(FR.mul(beta, cc.k1), zeta))),
+            ),
+            FR.add(ev(cx), FR.add(gamma, FR.mul(FR.mul(beta, cc.k2), zeta))),
+        ),
+        FR.mul(alpha, ev(z_x)),
+    )
+    line32 = FR.mul(
+        FR.mul(
+            FR.mul(
+                FR.add(ev(ax), FR.add(FR.mul(ev(cc.s_sigma_1), beta), gamma)),
+                FR.add(ev(bx), FR.add(FR.mul(ev(cc.s_sigma_2), beta), gamma)),
+            ),
+            FR.add(ev(cx), FR.add(FR.mul(ev(cc.s_sigma_3), beta), gamma)),
+        ),
+        FR.mul(alpha, ev(z_wx)),
+    )
+    diff2 = FR.sub(line32, line22)
+    cur = FR.sub(ev(line3), ev(line2))
+    assert diff2 == cur, "Wrong: line2 or line3 of round 5"
+
+    l1_e = l1_poly(dom).evaluate(zeta)
+    line4 = (z_x - Poly.constant(FR, 1)).scale(FR.mul(l1_e, FR.mul(alpha, alpha)))
+
+    z_h_e = dom.evaluate_vanishing(zeta)
+    line5 = tx_compact.scale(z_h_e)
+
+    return line1 + line2 - line3 + line4 - line5
