@@ -1,0 +1,92 @@
+"""Headline benchmark: KZG commit (Pippenger MSM) throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no performance numbers at all (BASELINE.md: no
+benches/, no criterion dep, no timings in any doc), so vs_baseline is
+reported against the north-star accounting unit itself (1.0 = the measured
+value); the driver's BENCH_r{N}.json history is the cross-round comparison.
+
+Config: MSM over N = 2^16 BLS12-381 G1 points (BASELINE.json config #1
+scaled up; stretch target 2^22).  Steady-state timing after one compile.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-n", type=int, default=16, help="log2 number of MSM points")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--window", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from zktpu.fields.host import FR
+    from zktpu.curves import g1
+    from zktpu.curves.host_curve import G1Affine
+    from zktpu.curves.msm import msm_jacobian, pick_window
+
+    n = 1 << args.log_n
+    c = args.window or pick_window(n)
+
+    rng = np.random.default_rng(12345)
+    # random-looking full-width scalars (deterministic)
+    scalars = [
+        int.from_bytes(rng.bytes(32), "little") % FR.modulus for _ in range(n)
+    ]
+    # SRS-like points: tau^i * G computed on device via fixed-base windows
+    tau = 0x1F3A5
+    powers, cur = [], 1
+    for _ in range(n):
+        powers.append(cur)
+        cur = FR.mul(cur, tau)
+    t0 = time.time()
+    X, Y, Z = g1.fixed_base_mul(G1Affine.generator(), powers)
+    X.block_until_ready()
+    setup_s = time.time() - t0
+
+    sc = g1.scalars_to_u32(scalars)
+
+    def run():
+        out = msm_jacobian(sc, X, Y, Z, c=c)
+        jax.block_until_ready(out)
+        return out
+
+    t0 = time.time()
+    out = run()
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    best = min(times)
+    pps = n / best
+
+    print(
+        f"# msm 2^{args.log_n} c={c} backend={jax.devices()[0].platform} "
+        f"setup={setup_s:.1f}s compile={compile_s:.1f}s best={best * 1e3:.1f}ms",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"kzg_commit_msm_points_per_s_2e{args.log_n}",
+                "value": round(pps, 1),
+                "unit": "points/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

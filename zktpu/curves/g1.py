@@ -109,6 +109,22 @@ def jac_add(fq: DeviceField, P1, P2):
     return X3, Y3, Z3
 
 
+def jac_tree_sum(P, axis: int = 0):
+    """Sum a batch of Jacobian points along `axis` via log-depth tree adds."""
+    X, Y, Z = (jnp.moveaxis(a, axis, 0) for a in P)
+    n = X.shape[0]
+    while n > 1:
+        half = n // 2
+        sX, sY, sZ = jac_add(FQD, (X[:half], Y[:half], Z[:half]), (X[half : 2 * half], Y[half : 2 * half], Z[half : 2 * half]))
+        if n % 2:
+            sX = jnp.concatenate([sX, X[2 * half : 2 * half + 1]], axis=0)
+            sY = jnp.concatenate([sY, Y[2 * half : 2 * half + 1]], axis=0)
+            sZ = jnp.concatenate([sZ, Z[2 * half : 2 * half + 1]], axis=0)
+        X, Y, Z = sX, sY, sZ
+        n = X.shape[0]
+    return X[0], Y[0], Z[0]
+
+
 def jac_to_affine_host(P) -> list[G1Affine]:
     """Batch Jacobian -> host affine points (one batched inversion)."""
     X, Y, Z = P

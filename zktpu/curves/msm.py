@@ -109,9 +109,11 @@ def _window_partial(scalars_u32: jnp.ndarray, P, w, c: int):
     return _weighted_bucket_sum(S)
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
-def msm_jacobian(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8):
+def msm_jacobian_impl(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8):
     """MSM over Jacobian point batch; returns a single Jacobian point (3 arrays).
+
+    Unjitted trace body — call from inside an enclosing jit/shard_map region
+    (the sharded MSM in zktpu/dist/msm.py traces this per shard).
 
     scalars_u32: (N, 8) canonical little-endian u32 limbs.
     """
@@ -135,6 +137,9 @@ def msm_jacobian(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8):
 
     acc0 = jac_add(FQD, jac_identity(()), (pX[0], pY[0], pZ[0]))
     return jax.lax.fori_loop(1, num_windows, combine, acc0)
+
+
+msm_jacobian = jax.jit(msm_jacobian_impl, static_argnames=("c",))
 
 
 def pad_msm_inputs(scalars_u32: jnp.ndarray, X, Y, Z):
