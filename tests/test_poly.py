@@ -29,7 +29,14 @@ def test_fft_matches_naive(spec, n):
     dom = get_domain(spec, n)
     coeffs = [rng.randrange(spec.modulus) for _ in range(n)]
     df = device_field(spec)
-    evals = df.decode_ints(dom.fft(df.encode_ints(coeffs))) if n > 1 else coeffs
+    evals = (
+        df.decode_ints(dom.fft(df.encode_ints(coeffs), force_device=True))
+        if n > 1
+        else coeffs
+    )
+    # host tier must agree with the device kernel
+    if n > 1:
+        assert df.decode_ints(dom.fft(df.encode_ints(coeffs))) == evals
     roots = dom.elements_ints()
     expect = [_host_eval(coeffs, w, spec.modulus) for w in roots]
     assert evals == expect
@@ -43,7 +50,11 @@ def test_ifft_roundtrip_and_coset(spec):
     df = device_field(spec)
     vals = [rng.randrange(spec.modulus) for _ in range(n)]
     arr = df.encode_ints(vals)
-    assert df.decode_ints(dom.ifft(dom.fft(arr))) == vals
+    assert (
+        df.decode_ints(dom.ifft(dom.fft(arr, force_device=True), force_device=True))
+        == vals
+    )
+    assert df.decode_ints(dom.ifft(dom.fft(arr))) == vals  # host tier
     # coset round trip and correctness
     g = spec.generator
     ce = dom.coset_fft(arr, g)
@@ -65,10 +76,11 @@ def test_domain_conventions():
 
 
 def test_poly_mul_matches_schoolbook():
+    # sizes chosen so out_len > HOST_POLY_MAX: exercises the device NTT mul
     spec = host.FR
     rng = random.Random(3)
-    a = [rng.randrange(spec.modulus) for _ in range(37)]
-    b = [rng.randrange(spec.modulus) for _ in range(23)]
+    a = [rng.randrange(spec.modulus) for _ in range(90)]
+    b = [rng.randrange(spec.modulus) for _ in range(70)]
     pa, pb = Poly.from_ints(spec, a), Poly.from_ints(spec, b)
     out = [0] * (len(a) + len(b) - 1)
     for i, ai in enumerate(a):
@@ -94,11 +106,12 @@ def test_poly_add_sub_trim():
     assert (-a).to_ints() == [spec.modulus - 1, spec.modulus - 2, spec.modulus - 3]
 
 
-def test_divide_by_vanishing():
+@pytest.mark.parametrize("qlen", [19, 150])  # host tier and device tier
+def test_divide_by_vanishing(qlen):
     spec = host.FR
     rng = random.Random(11)
     n = 8
-    q = [rng.randrange(spec.modulus) for _ in range(19)]
+    q = [rng.randrange(spec.modulus) for _ in range(qlen)]
     pq = Poly.from_ints(spec, q)
     num = pq.mul_by_vanishing(n)
     got_q, got_r = num.divide_by_vanishing(n)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..config import HOST_MSM_MAX, HOST_MSM_SRS_MAX
 from ..fields.host import FR
 from ..fields.fp import device_field
 from ..poly.poly import Poly
@@ -94,6 +95,14 @@ class KzgScheme:
         assert self.srs.size > max(n - 1, 0), "polynomial degree exceeds SRS"
         if n == 0:
             return KzgCommitment(G1Affine.identity())
+        if n <= HOST_MSM_MAX and self.srs.size <= HOST_MSM_SRS_MAX:
+            # latency tier: tiny MSMs are dispatch-bound, not compute-bound
+            scalars = FRD.decode_ints(coeffs)
+            acc = G1Affine.identity()
+            for s, pt in zip(scalars, self.srs.g1_points_host()):
+                if s:
+                    acc = acc + pt.mul(s)
+            return KzgCommitment(acc)
         sc = _mont_digits_to_u32(coeffs)
         X, Y, Z = self.srs.g1_jac
         from ..curves.msm import pad_msm_inputs, pick_window

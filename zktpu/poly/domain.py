@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import HOST_NTT_MAX
 from ..fields.host import FieldSpec
 from ..fields.fp import DeviceField, device_field, ints_to_digits
 
@@ -116,18 +117,52 @@ class Radix2Domain:
             x = df.mont_mul(x, n_inv)
         return x
 
-    def fft(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+    # -- host transform (small sizes: latency-bound, see zktpu/config.py) --
+
+    def _host_transform(self, values: list[int], inverse: bool) -> list[int]:
+        """Same bit-reverse + DIT butterflies over python ints."""
+        spec = self.spec
+        n = self.size
+        x = [values[int(self._perm[i])] for i in range(n)]
+        gen = self.group_gen_inv if inverse else self.group_gen
+        for s in range(1, self.log_n + 1):
+            m = 1 << s
+            w_m = spec.pow(gen, n // m)
+            for k in range(0, n, m):
+                w = 1
+                for j in range(m // 2):
+                    t = spec.mul(w, x[k + j + m // 2])
+                    u = x[k + j]
+                    x[k + j] = spec.add(u, t)
+                    x[k + j + m // 2] = spec.sub(u, t)
+                    w = spec.mul(w, w_m)
+        if inverse:
+            x = [spec.mul(v, self.size_inv) for v in x]
+        return x
+
+    def _transform_tiered(self, arr: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        if self.size <= HOST_NTT_MAX and arr.ndim == 2:
+            vals = self.df.decode_ints(arr)
+            out = self._host_transform(vals, inverse)
+            return self.df.encode_ints(out)
+        return (self._ifft_jit if inverse else self._fft_jit)(arr)
+
+    def fft(self, coeffs: jnp.ndarray, force_device: bool = False) -> jnp.ndarray:
         """coeffs: (..., m, D) with m <= n; zero-padded to n automatically."""
         coeffs = self._pad(coeffs)
         if self.size == 1:
             return coeffs
-        return self._fft_jit(coeffs)
+        if force_device:
+            return self._fft_jit(coeffs)
+        return self._transform_tiered(coeffs, inverse=False)
 
-    def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
+    def ifft(self, evals: jnp.ndarray, force_device: bool = False) -> jnp.ndarray:
         assert evals.shape[-2] == self.size
         if self.size == 1:
             return evals
-        return self._ifft_jit(evals)
+        if force_device:
+            return self._ifft_jit(evals)
+        return self._transform_tiered(evals, inverse=True)
 
     def _pad(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         m = coeffs.shape[-2]

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import HOST_POLY_MAX
 from ..fields.host import FieldSpec
 from ..fields.fp import device_field, ints_to_digits
 from .domain import Radix2Domain, get_domain
@@ -118,7 +119,7 @@ class Poly:
         if len(self) == 0 or len(other) == 0:
             return Poly.zero(self.spec)
         out_len = len(self) + len(other) - 1
-        if out_len <= 16:  # tiny: host schoolbook
+        if out_len <= HOST_POLY_MAX:  # small: host schoolbook (latency tier)
             a, b = self.to_ints(), other.to_ints()
             p = self.spec.modulus
             out = [0] * out_len
@@ -148,6 +149,14 @@ class Poly:
         L = len(self)
         if L <= n:
             return Poly.zero(self.spec), self
+        if L <= HOST_POLY_MAX:  # small: host ints (latency tier)
+            p = self.spec.modulus
+            c = self.to_ints()
+            q = [0] * (L - n)
+            for i in range(L - n - 1, -1, -1):
+                q[i] = (c[i + n] + (q[i + n] if i + n < L - n else 0)) % p
+            r = [(c[i] + (q[i] if i < L - n else 0)) % p for i in range(n)]
+            return Poly.from_ints(self.spec, q), Poly.from_ints(self.spec, r)
         qlen = L - n
         nblocks = (qlen + n - 1) // n
         total = nblocks * n
@@ -174,6 +183,17 @@ class Poly:
         if z == 0:
             rem = self.df.decode_int(self.coeffs[0])
             return Poly(self.spec, self.coeffs[1:]), rem
+        if L <= HOST_POLY_MAX:  # small: host synthetic (Ruffini) division
+            p = self.spec.modulus
+            c = self.to_ints()
+            q = [0] * (L - 1)
+            acc = c[L - 1]
+            for i in range(L - 2, 0, -1):
+                q[i] = acc
+                acc = (c[i] + z * acc) % p
+            q[0] = acc
+            rem = (c[0] + z * acc) % p
+            return Poly.from_ints(self.spec, q), rem
         spec, df = self.spec, self.df
         # q_i = sum_{j>i} c_j z^{j-i-1} = z^{-(i+1)} * S_i, S_i = sum_{j>i} c_j z^j
         zpows = [1]
