@@ -25,3 +25,20 @@ HOST_MSM_SRS_MAX = _env_int("ZKTPU_HOST_MSM_SRS_MAX", 4096)
 HOST_NTT_MAX = _env_int("ZKTPU_HOST_NTT_MAX", 128)
 # Dense poly ops (mul / linear & vanishing division): host below.
 HOST_POLY_MAX = _env_int("ZKTPU_HOST_POLY_MAX", 128)
+
+# Pallas fused Montgomery-mul kernel: "auto" = on TPU backends only.
+USE_PALLAS = os.environ.get("ZKTPU_USE_PALLAS", "auto")
+# Minimum flattened batch for the kernel (smaller batches stay on the
+# jnp path: launch+pad overhead beats the fusion win).
+PALLAS_MIN_BATCH = _env_int("ZKTPU_PALLAS_MIN_BATCH", 256)
+
+
+def pallas_enabled() -> bool:
+    if USE_PALLAS == "auto":
+        import jax
+
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+    return USE_PALLAS not in ("0", "false", "off")

@@ -7,16 +7,18 @@ formulated for SIMD/XLA:
   per window w (c bits):
     1. ids = w-th c-bit digit of each scalar
     2. sort points by id (XLA sort)
-    3. segmented inclusive scan (Hillis-Steele doubling inside a fori_loop:
-       log N vectorized point-adds, graph stays one add per loop body)
-    4. segment tails scattered into the 2^c bucket array
-    5. weighted bucket sum  sum_k k * S_k  via a reverse cumulative point-sum
-       and a tree reduction
+    3. one *unsegmented* suffix scan T[i] = sum_{j>=i} P_j over the sorted
+       points (work-efficient Blelloch tree: ~3N point-adds, static levels)
+    4. the weighted bucket sum telescopes through the sorted order:
+         sum_k k * S_k  =  sum_{k=1}^{2^c-1} T[searchsorted(ids, k)]
+       so no segmented logic and no bucket array — gather 2^c-1 rows of T
+       and tree-reduce them (2^c adds).
   windows combined MSB->LSB with c doublings between.
 
-Work: ~N log N + 2^(c+1) point-adds per window — all as full-width vector
-ops on the VPU; cross-chip distribution shards points and psums the window
-partials (zktpu/dist).
+Work: ~3N + 2^c point-adds per window (vs N log N for the doubling-scan
+formulation); every add is a full-width vector op on the VPU with the fused
+Pallas Montgomery kernel underneath.  Cross-chip distribution shards points
+and tree-reduces the per-chip partials (zktpu/dist/msm.py).
 """
 from __future__ import annotations
 
@@ -29,74 +31,54 @@ import numpy as np
 from ..fields.host import FQ
 from ..fields.fp import device_field
 from . import g1
-from .g1 import FQD, jac_add, jac_double, jac_identity
+from .g1 import FQD, jac_add, jac_double, jac_identity, jac_tree_sum
 
 
-def _segmented_scan_tails(ids: jnp.ndarray, P, num_buckets: int):
-    """ids sorted ascending; returns bucket array S[k] = sum of points with id k."""
-    n = ids.shape[0]
-    log_n = max((n - 1).bit_length(), 1)
-
-    def body(i, carry):
-        ids_c, X, Y, Z = carry
-        d = 1 << i
-        idx = jnp.arange(n, dtype=jnp.int32) - d
-        valid = idx >= 0
-        idxc = jnp.clip(idx, 0, n - 1)
-        sid = jnp.where(valid, ids_c[idxc], num_buckets + 1)
-        sX, sY, sZ = X[idxc], Y[idxc], Z[idxc]
-        same = jnp.logical_and(valid, sid == ids_c)
-        # add shifted point where in same segment, else keep
-        zero = jnp.zeros_like(sZ)
-        sZ = jnp.where(same[..., None], sZ, zero)  # identity where different
-        nX, nY, nZ = jac_add(FQD, (X, Y, Z), (sX, sY, sZ))
-        return (ids_c, nX, nY, nZ)
-
-    X, Y, Z = P
-    _, X, Y, Z = jax.lax.fori_loop(0, log_n, body, (ids, X, Y, Z))
-    # segment tails: last element of each run
-    nxt = jnp.concatenate([ids[1:], jnp.full((1,), num_buckets + 7, ids.dtype)])
-    is_tail = nxt != ids
-    scatter_idx = jnp.where(is_tail, ids, num_buckets).astype(jnp.int32)
-    D = X.shape[-1]
-    SX = jnp.zeros((num_buckets + 1, D), dtype=jnp.uint32).at[scatter_idx].set(X)
-    SY = jnp.zeros((num_buckets + 1, D), dtype=jnp.uint32).at[scatter_idx].set(Y)
-    SZ = jnp.zeros((num_buckets + 1, D), dtype=jnp.uint32).at[scatter_idx].set(Z)
-    return SX[:num_buckets], SY[:num_buckets], SZ[:num_buckets]
+def _interleave(a, b):
+    """Interleave rows: out[2i] = a[i], out[2i+1] = b[i]."""
+    n, D = a.shape
+    return jnp.stack([a, b], axis=1).reshape(2 * n, D)
 
 
-def _suffix_cumsum(P):
-    """Point suffix sums T_j = sum_{k>=j} P_k (log-depth doubling, fori_loop)."""
-    X0, Y0, Z0 = P
-    n = X0.shape[0]
-    log_n = max((n - 1).bit_length(), 1)
+def _prefix_scan_blelloch(P):
+    """Inclusive prefix sums of Jacobian points, work-efficient (~3N adds).
 
-    def body(i, carry):
-        X, Y, Z = carry
-        d = 1 << i
-        idx = jnp.arange(n, dtype=jnp.int32) + d
-        valid = idx < n
-        idxc = jnp.clip(idx, 0, n - 1)
-        sX, sY, sZ = X[idxc], Y[idxc], Z[idxc]
-        sZ = jnp.where(valid[..., None], sZ, jnp.zeros_like(sZ))
-        return jac_add(FQD, (X, Y, Z), (sX, sY, sZ))
-
-    return jax.lax.fori_loop(0, log_n, body, (X0, Y0, Z0))
-
-
-def _weighted_bucket_sum(S):
-    """sum_k k * S_k = sum_{j>=1} T_j with T = suffix sums: two suffix scans.
-
-    (The second scan's element 1 is sum_{j>=1} T_j; reusing the same loop
-    keeps the compiled graph at one point-add per loop body.)
+    Static python loops over log N halving/doubling levels: upsweep pairwise
+    sums, downsweep exclusive scan, one final add for inclusive.
     """
-    TX, TY, TZ = _suffix_cumsum(S)
-    UX, UY, UZ = _suffix_cumsum((TX, TY, TZ))
-    return UX[1], UY[1], UZ[1]
+    X, Y, Z = P
+    n = X.shape[0]
+    assert n & (n - 1) == 0, "blelloch scan requires pow2 length"
+    if n == 1:
+        return P
+    levels = []
+    cur = P
+    while cur[0].shape[0] > 1:
+        even = tuple(a[0::2] for a in cur)
+        odd = tuple(a[1::2] for a in cur)
+        levels.append(even)
+        cur = jac_add(FQD, even, odd)
+    # downsweep: exclusive scan
+    ex = jac_identity((1,))
+    for even in reversed(levels):
+        odd_ex = jac_add(FQD, ex, even)
+        ex = tuple(_interleave(e, o) for e, o in zip(ex, odd_ex))
+    # inclusive[i] = exclusive[i] + P[i]
+    return jac_add(FQD, ex, P)
+
+
+def _suffix_scan(P):
+    """T[i] = sum_{j>=i} P_j via reversed Blelloch prefix scan."""
+    rev = tuple(jnp.flip(a, axis=0) for a in P)
+    inc = _prefix_scan_blelloch(rev)
+    return tuple(jnp.flip(a, axis=0) for a in inc)
 
 
 def _window_partial(scalars_u32: jnp.ndarray, P, w, c: int):
-    """Bucket-accumulated partial sum for window w (traced)."""
+    """Bucket-accumulated partial sum for window w (traced).
+
+    sum_k k*S_k telescopes over bucket starts s_k (S_k = T[s_k] - T[s_{k+1}],
+    coefficient of T[s_k] is 1 for every k >= 1)."""
     per_limb = 32 // c
     limb = w // per_limb
     off = (w % per_limb) * c
@@ -105,8 +87,15 @@ def _window_partial(scalars_u32: jnp.ndarray, P, w, c: int):
     ids_s = ids[order].astype(jnp.int32)
     X, Y, Z = P
     Ps = (X[order], Y[order], Z[order])
-    S = _segmented_scan_tails(ids_s, Ps, 1 << c)
-    return _weighted_bucket_sum(S)
+    T = _suffix_scan(Ps)
+    # extend with identity at index n (empty tail)
+    T_ext = tuple(
+        jnp.concatenate([a, jnp.zeros((1, a.shape[-1]), a.dtype)], axis=0) for a in T
+    )
+    ks = jnp.arange(1, 1 << c, dtype=jnp.int32)
+    starts = jnp.searchsorted(ids_s, ks, side="left").astype(jnp.int32)
+    gathered = tuple(a[starts] for a in T_ext)  # (2^c - 1, D) each
+    return jac_tree_sum(gathered)
 
 
 def msm_jacobian_impl(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8):

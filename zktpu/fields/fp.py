@@ -236,6 +236,19 @@ class DeviceField:
         return self._dispatch2("mul", self._mont_mul, a, b)
 
     def _mont_mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        from ..config import PALLAS_MIN_BATCH, pallas_enabled
+
+        if pallas_enabled():
+            batch = 1
+            for s in jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]):
+                batch *= s
+            if batch >= PALLAS_MIN_BATCH:
+                from .pallas_mont import mont_mul_pallas
+
+                return mont_mul_pallas(self.spec, a, b)
+        return self._mont_mul_jnp(a, b)
+
+    def _mont_mul_jnp(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         D = self.num_digits
         cols = self._conv_full(a, b)
         # exact low-half digits of T
