@@ -35,7 +35,7 @@ def main() -> None:
     from zktpu.fields.host import FR
     from zktpu.curves import g1
     from zktpu.curves.host_curve import G1Affine
-    from zktpu.curves.msm import msm_jacobian, pick_window
+    from zktpu.curves.msm import msm_proj, pick_window
 
     n = 1 << args.log_n
     c = args.window or pick_window(n)
@@ -59,7 +59,7 @@ def main() -> None:
     sc = g1.scalars_to_u32(scalars)
 
     def run():
-        out = msm_jacobian(sc, X, Y, Z, c=c)
+        out = msm_proj(sc, X, Y, Z, c=c)
         # NOTE: block_until_ready is not a reliable barrier through the
         # remote-TPU tunnel; fetching the (tiny) result is.
         return tuple(np.asarray(jax.device_get(a)) for a in out)

@@ -16,7 +16,7 @@ from zktpu.fields.fp import device_field
 from zktpu.poly.domain import get_domain
 from zktpu.curves import g1
 from zktpu.curves.host_curve import G1Affine
-from zktpu.curves.msm import msm_jacobian
+from zktpu.curves.msm import msm_proj
 from zktpu.dist import make_mesh, msm_jacobian_sharded, get_four_step
 
 FRD = device_field(FR)
@@ -36,9 +36,9 @@ def test_sharded_msm_matches_single_chip(mesh):
     pts = g1.fixed_base_mul(base, list(range(2, n + 2)))
     sc = g1.scalars_to_u32(scalars)
     X, Y, Z = pts
-    single = msm_jacobian(sc, X, Y, Z, c=4)
+    single = msm_proj(sc, X, Y, Z, c=4)
     shard = msm_jacobian_sharded(sc, X, Y, Z, mesh=mesh, c=4)
-    assert g1.jac_to_affine_host(tuple(a[None] for a in single)) == g1.jac_to_affine_host(
+    assert g1.proj_to_affine_host(tuple(a[None] for a in single)) == g1.proj_to_affine_host(
         tuple(a[None] for a in shard)
     )
 

@@ -10,7 +10,7 @@ import pytest
 
 from zktpu.fields import host
 from zktpu.curves import g1 as g1mod
-from zktpu.curves.g1 import FQD, jac_add, jac_double, jac_identity, host_points_to_device, jac_to_affine_host
+from zktpu.curves.g1 import FQD, proj_add, proj_double, host_points_to_device, proj_to_affine_host
 from zktpu.curves.host_curve import G1Affine
 from zktpu.curves.msm import msm
 from zktpu.kzg import Srs, KzgScheme
@@ -25,20 +25,20 @@ def test_device_point_ops_match_host():
     P = host_points_to_device(pts)
     # pairwise add against host
     Q = host_points_to_device([pts[5], pts[0], pts[2], pts[2], G.mul(host.FR_MODULUS - 1), G1Affine.identity()])
-    R = jac_add(FQD, P, Q)
-    got = jac_to_affine_host(R)
+    R = proj_add(FQD, P, Q)
+    got = proj_to_affine_host(R)
     want = [a + b for a, b in zip(pts, [pts[5], pts[0], pts[2], pts[2], G.mul(host.FR_MODULUS - 1), G1Affine.identity()])]
     assert got == want  # covers: +inf, add, double-case (3+3), P+(-P), inf+inf
 
-    Dd = jac_double(FQD, P)
-    assert jac_to_affine_host(Dd) == [p + p for p in pts]
+    Dd = proj_double(FQD, P)
+    assert proj_to_affine_host(Dd) == [p + p for p in pts]
 
 
 def test_fixed_base_mul():
     rng = random.Random(5)
     scalars = [0, 1, 2, host.FR_MODULUS - 1] + [rng.randrange(host.FR_MODULUS) for _ in range(4)]
     R = g1mod.fixed_base_mul(G, scalars)
-    assert jac_to_affine_host(R) == [G.mul(s) for s in scalars]
+    assert proj_to_affine_host(R) == [G.mul(s) for s in scalars]
 
 
 @pytest.mark.parametrize("n,c", [(1, 4), (5, 4), (33, 4), (70, 8)])

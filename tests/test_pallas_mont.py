@@ -40,3 +40,33 @@ def test_pallas_broadcast_matches_jnp():
     want = df._mont_mul_jnp(a, b)
     got = mont_mul_pallas(spec, a, b, interpret=True)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_pallas_proj_point_ops_match_jnp():
+    """Fused projective add/double kernels vs the jnp group law (interpret mode).
+
+    Covers the complete-formula edge lanes: identity operands, P + P,
+    P + (-P), and identity + identity.
+    """
+    from zktpu.curves import g1
+    from zktpu.curves.host_curve import G1Affine
+    from zktpu.curves.pallas_g1 import proj_add_pallas, proj_double_pallas
+
+    G = G1Affine.generator()
+    pts1 = [G.mul(k) for k in (1, 2, 3, 7, 1)] + [G1Affine.identity()]
+    neg7 = G.mul(host.FR_MODULUS - 7)
+    pts2 = [G1Affine.identity(), G.mul(5), G.mul(3), neg7, G.mul(11), G1Affine.identity()]
+    P = g1.host_points_to_device(pts1)
+    Q = g1.host_points_to_device(pts2)
+
+    got = proj_add_pallas(host.FQ, P, Q, interpret=True)
+    want = g1._proj_add_jnp(g1.FQD, P, Q)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert g1.proj_to_affine_host(got) == [a + b for a, b in zip(pts1, pts2)]
+
+    gotd = proj_double_pallas(host.FQ, P, interpret=True)
+    wantd = g1._proj_double_jnp(g1.FQD, P)
+    for a, b in zip(gotd, wantd):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert g1.proj_to_affine_host(gotd) == [p + p for p in pts1]

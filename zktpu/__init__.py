@@ -7,10 +7,22 @@ NTT, vectorized SHA-256 Merkle hashing, and shard_map-based multi-chip
 distribution.  See SURVEY.md for the structural map of the reference.
 """
 import os
+import platform
 
 # Persistent XLA compilation cache: field-limb kernels have large graphs, so
 # caching compiled executables across processes matters.
-_cache_dir = os.environ.get("ZKTPU_JAX_CACHE", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+#
+# The cache key jax uses does NOT include the host CPU's feature set, and
+# XLA:CPU AOT executables are not portable across machines — loading an
+# entry compiled on a host with a different ISA (e.g. AMX/AVX-512 variants)
+# silently produces executables that hang or SIGILL.  Scope the cache
+# directory by a host fingerprint so each machine keeps its own entries.
+_fingerprint = f"{platform.machine()}-{platform.node()}"
+_cache_root = os.environ.get(
+    "ZKTPU_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+_cache_dir = os.path.join(_cache_root, _fingerprint)
 try:
     import jax
 

@@ -50,7 +50,7 @@ def _point_from(obj: dict) -> KzgCommitment:
 
 
 def save_srs(path: str, srs: Srs) -> None:
-    X, Y, Z = (np.asarray(a) for a in srs.g1_jac)
+    X, Y, Z = (np.asarray(a) for a in srs.g1_proj)
     g2, g2s = srs.g2(), srs.g2s()
     meta = [
         srs.size,
@@ -68,8 +68,8 @@ def load_srs(path: str) -> Srs:
     size = meta[0]
     g2 = G2Affine(Fq2(meta[1], meta[2]), Fq2(meta[3], meta[4]))
     g2s = G2Affine(Fq2(meta[5], meta[6]), Fq2(meta[7], meta[8]))
-    g1_jac = tuple(jnp.asarray(data[k]) for k in ("X", "Y", "Z"))
-    return Srs(g1_jac, g2, g2s, size)
+    g1_proj = tuple(jnp.asarray(data[k]) for k in ("X", "Y", "Z"))
+    return Srs(g1_proj, g2, g2s, size)
 
 
 # -- PLONK proof --------------------------------------------------------------

@@ -1,14 +1,21 @@
 """Device (TPU) BLS12-381 G1 arithmetic over limb vectors.
 
-Points are Jacobian triples (X, Y, Z) of Fq digit arrays (..., 24) uint32 in
-Montgomery form; Z == 0 encodes the identity (so an all-zero buffer is a
-valid identity point — bucket initialization is just jnp.zeros).
+Points are homogeneous projective triples (X, Y, Z) of Fq digit arrays
+(..., 24) uint32 in Montgomery form; the identity is (0 : 1 : 0).
 
-The group law is branchless: both the general-add and doubling paths are
-computed and the correct lane selected, so the same kernel handles identity
-operands, P + P and P + (-P).  This is the TPU-native replacement for
-arkworks' ark-ec projective arithmetic used by the reference's MSM loop
-(kzg/src/scheme.rs:84-96).
+The group law uses the Renes-Costello-Batina *complete* addition formulas
+for short-Weierstrass curves with a = 0 (Alg. 7/9 of eprint 2015/1060):
+12 field muls per addition, no exceptional cases, so there is no branch or
+select logic at all — every lane of a batched add is the same straight-line
+code whether the operands are equal, inverse, or the identity.  This is the
+TPU-native replacement for arkworks' ark-ec projective arithmetic used by
+the reference's MSM loop (kzg/src/scheme.rs:84-96); the branchless-complete
+property is what lets the Pippenger scan (zktpu/curves/msm.py) run as pure
+vector code.
+
+Multiplications by the curve constant 3b = 12 (BLS12-381 G1: y^2 = x^3 + 4)
+are computed as double/add chains — four cheap digit-carry ops instead of a
+full 24x24-digit Montgomery product.
 """
 from __future__ import annotations
 
@@ -26,17 +33,22 @@ FQD = device_field(FQ)
 D = FQ.num_digits
 
 
-def jac_identity(shape=()) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def proj_identity(shape=()) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(0 : 1 : 0) — Y is the Montgomery one."""
     z = jnp.zeros(shape + (D,), dtype=jnp.uint32)
-    return z, z, z
+    one = jnp.broadcast_to(jnp.asarray(FQD.one_np), shape + (D,))
+    return z, one, z
 
 
-def affine_to_jac(x_digits: jnp.ndarray, y_digits: jnp.ndarray, inf_mask=None):
-    """Affine Montgomery coords -> Jacobian; inf_mask selects identity lanes."""
+def affine_to_proj(x_digits: jnp.ndarray, y_digits: jnp.ndarray, inf_mask=None):
+    """Affine Montgomery coords -> projective; inf_mask selects identity lanes."""
     one = jnp.broadcast_to(jnp.asarray(FQD.one_np), x_digits.shape)
     z = one
     if inf_mask is not None:
-        z = jnp.where(inf_mask[..., None], jnp.zeros_like(one), one)
+        m = inf_mask[..., None]
+        z = jnp.where(m, jnp.zeros_like(one), one)
+        x_digits = jnp.where(m, jnp.zeros_like(x_digits), x_digits)
+        y_digits = jnp.where(m, one, y_digits)
     return x_digits, y_digits, z
 
 
@@ -44,78 +56,98 @@ def host_points_to_device(points: list[G1Affine]) -> tuple[jnp.ndarray, jnp.ndar
     xs = FQD.encode_ints([p.x for p in points])
     ys = FQD.encode_ints([p.y for p in points])
     inf = jnp.asarray(np.array([p.infinity for p in points], dtype=bool))
-    return affine_to_jac(xs, ys, inf)
+    return affine_to_proj(xs, ys, inf)
 
 
-def jac_double(fq: DeviceField, P):
-    X, Y, Z = P
-    A = fq.mont_mul(X, X)
-    B = fq.mont_mul(Y, Y)
-    C = fq.mont_mul(B, B)
-    t = fq.add(X, B)
-    t = fq.mont_mul(t, t)
-    t = fq.sub(fq.sub(t, A), C)
-    Dd = fq.double(t)  # D = 2((X+B)^2 - A - C)
-    E = fq.add(fq.double(A), A)  # 3A
-    F = fq.mont_mul(E, E)
-    X3 = fq.sub(F, fq.double(Dd))
-    Y3 = fq.sub(fq.mont_mul(E, fq.sub(Dd, X3)), fq.double(fq.double(fq.double(C))))
-    Z3 = fq.double(fq.mont_mul(Y, Z))
-    return X3, Y3, Z3
+def _pallas_batch(*arrays) -> int:
+    """Flattened batch width of a point-op call (0 if pallas is off)."""
+    from ..config import pallas_enabled
+
+    if not pallas_enabled():
+        return 0
+    n = 1
+    for s in jnp.broadcast_shapes(*[a.shape[:-1] for a in arrays]):
+        n *= s
+    return n
 
 
-def jac_add(fq: DeviceField, P1, P2):
+def _mul12(fq: DeviceField, a):
+    """12*a = 3b*a for BLS12-381 G1 (b = 4) via a double/add chain."""
+    a4 = fq.double(fq.double(a))
+    return fq.add(fq.double(a4), a4)
+
+
+def proj_add(fq: DeviceField, P1, P2):
+    from ..config import PALLAS_MIN_BATCH
+
+    if _pallas_batch(*P1, *P2) >= PALLAS_MIN_BATCH:
+        from .pallas_g1 import proj_add_pallas
+
+        return proj_add_pallas(fq.spec, P1, P2)
+    return _proj_add_jnp(fq, P1, P2)
+
+
+def _proj_add_jnp(fq: DeviceField, P1, P2):
+    """RCB Alg. 7 (a = 0): complete projective addition, 12M + 2 x (3b)."""
     X1, Y1, Z1 = P1
     X2, Y2, Z2 = P2
-    inf1 = fq.is_zero(Z1)
-    inf2 = fq.is_zero(Z2)
-    Z1Z1 = fq.mont_mul(Z1, Z1)
-    Z2Z2 = fq.mont_mul(Z2, Z2)
-    U1 = fq.mont_mul(X1, Z2Z2)
-    U2 = fq.mont_mul(X2, Z1Z1)
-    S1 = fq.mont_mul(fq.mont_mul(Y1, Z2), Z2Z2)
-    S2 = fq.mont_mul(fq.mont_mul(Y2, Z1), Z1Z1)
-    H = fq.sub(U2, U1)
-    rr = fq.sub(S2, S1)
-    same_x = fq.is_zero(H)
-    same_y = fq.is_zero(rr)
-
-    HH = fq.mont_mul(H, H)
-    HHH = fq.mont_mul(H, HH)
-    V = fq.mont_mul(U1, HH)
-    X3 = fq.sub(fq.sub(fq.mont_mul(rr, rr), HHH), fq.double(V))
-    Y3 = fq.sub(fq.mont_mul(rr, fq.sub(V, X3)), fq.mont_mul(S1, HHH))
-    Z3 = fq.mont_mul(fq.mont_mul(Z1, Z2), H)
-
-    dX, dY, dZ = jac_double(fq, P1)
-
-    both = jnp.logical_and(jnp.logical_not(inf1), jnp.logical_not(inf2))
-    use_dbl = jnp.logical_and(both, jnp.logical_and(same_x, same_y))
-    use_inf = jnp.logical_and(both, jnp.logical_and(same_x, jnp.logical_not(same_y)))
-
-    def sel(c, a, b):
-        return jnp.where(c[..., None], a, b)
-
-    X3 = sel(use_dbl, dX, X3)
-    Y3 = sel(use_dbl, dY, Y3)
-    Z3 = sel(use_dbl, dZ, Z3)
-    Z3 = jnp.where(use_inf[..., None], jnp.zeros_like(Z3), Z3)
-    X3 = sel(inf1, X2, X3)
-    Y3 = sel(inf1, Y2, Y3)
-    Z3 = sel(inf1, Z2, Z3)
-    X3 = sel(inf2, X1, X3)
-    Y3 = sel(inf2, Y1, Y3)
-    Z3 = sel(inf2, Z1, Z3)
+    mul, add, sub = fq.mont_mul, fq.add, fq.sub
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = sub(mul(add(X1, Y1), add(X2, Y2)), add(t0, t1))  # X1Y2 + X2Y1
+    t4 = sub(mul(add(Y1, Z1), add(Y2, Z2)), add(t1, t2))  # Y1Z2 + Y2Z1
+    t5 = sub(mul(add(X1, Z1), add(X2, Z2)), add(t0, t2))  # X1Z2 + X2Z1
+    t0 = add(fq.double(t0), t0)  # 3 X1X2
+    t2 = _mul12(fq, t2)  # 3b Z1Z2
+    Zc = add(t1, t2)  # Y1Y2 + 3b Z1Z2
+    t1 = sub(t1, t2)  # Y1Y2 - 3b Z1Z2
+    t5 = _mul12(fq, t5)  # 3b (X1Z2 + X2Z1)
+    X3 = sub(mul(t3, t1), mul(t4, t5))
+    Y3 = add(mul(t1, Zc), mul(t5, t0))
+    Z3 = add(mul(Zc, t4), mul(t0, t3))
     return X3, Y3, Z3
 
 
-def jac_tree_sum(P, axis: int = 0):
-    """Sum a batch of Jacobian points along `axis` via log-depth tree adds."""
+def proj_double(fq: DeviceField, P):
+    from ..config import PALLAS_MIN_BATCH
+
+    if _pallas_batch(*P) >= PALLAS_MIN_BATCH:
+        from .pallas_g1 import proj_double_pallas
+
+        return proj_double_pallas(fq.spec, P)
+    return _proj_double_jnp(fq, P)
+
+
+def _proj_double_jnp(fq: DeviceField, P):
+    """RCB Alg. 9 (a = 0): complete projective doubling, 6M + 2S + 1 x (3b)."""
+    X, Y, Z = P
+    mul, add, sub = fq.mont_mul, fq.add, fq.sub
+    t0 = mul(Y, Y)
+    Z3 = fq.double(fq.double(fq.double(t0)))  # 8 Y^2
+    t1 = mul(Y, Z)
+    t2 = _mul12(fq, mul(Z, Z))  # 3b Z^2
+    X3 = mul(t2, Z3)
+    Y3 = add(t0, t2)
+    Z3 = mul(t1, Z3)
+    t2 = add(fq.double(t2), t2)  # 9b Z^2
+    t0 = sub(t0, t2)  # Y^2 - 9b Z^2
+    Y3 = add(mul(t0, Y3), X3)
+    X3 = fq.double(mul(t0, mul(X, Y)))
+    return X3, Y3, Z3
+
+
+def proj_tree_sum(P, axis: int = 0):
+    """Sum a batch of projective points along `axis` via log-depth tree adds."""
     X, Y, Z = (jnp.moveaxis(a, axis, 0) for a in P)
     n = X.shape[0]
     while n > 1:
         half = n // 2
-        sX, sY, sZ = jac_add(FQD, (X[:half], Y[:half], Z[:half]), (X[half : 2 * half], Y[half : 2 * half], Z[half : 2 * half]))
+        sX, sY, sZ = proj_add(
+            FQD,
+            (X[:half], Y[:half], Z[:half]),
+            (X[half : 2 * half], Y[half : 2 * half], Z[half : 2 * half]),
+        )
         if n % 2:
             sX = jnp.concatenate([sX, X[2 * half : 2 * half + 1]], axis=0)
             sY = jnp.concatenate([sY, Y[2 * half : 2 * half + 1]], axis=0)
@@ -125,8 +157,8 @@ def jac_tree_sum(P, axis: int = 0):
     return X[0], Y[0], Z[0]
 
 
-def jac_to_affine_host(P) -> list[G1Affine]:
-    """Batch Jacobian -> host affine points (one batched inversion)."""
+def proj_to_affine_host(P) -> list[G1Affine]:
+    """Batch projective -> host affine points."""
     X, Y, Z = P
     X = X.reshape(-1, D)
     Y = Y.reshape(-1, D)
@@ -141,13 +173,19 @@ def jac_to_affine_host(P) -> list[G1Affine]:
             out.append(G1Affine.identity())
         else:
             zi = pow(z, -1, p)
-            zi2 = zi * zi % p
-            out.append(G1Affine(x * zi2 % p, y * zi2 * zi % p))
+            out.append(G1Affine(x * zi % p, y * zi % p))
     return out
 
 
-def jac_points_equal_host(P, Q) -> bool:
-    return jac_to_affine_host(P) == jac_to_affine_host(Q)
+def proj_points_equal_host(P, Q) -> bool:
+    return proj_to_affine_host(P) == proj_to_affine_host(Q)
+
+
+# Backwards-compatible aliases (the framework-wide point representation moved
+# from Jacobian to complete-projective; callers only rely on the opaque-triple
+# interface, which is unchanged).
+jac_to_affine_host = proj_to_affine_host
+jac_points_equal_host = proj_points_equal_host
 
 
 # ---------------------------------------------------------------------------
@@ -177,8 +215,8 @@ def _fixed_base_tables(base: G1Affine, window: int = 8):
     X = FQD.encode_ints(xs).reshape(num_windows, 1 << window, D)
     Y = FQD.encode_ints(ys).reshape(num_windows, 1 << window, D)
     inf = jnp.asarray(np.array(infs, dtype=bool)).reshape(num_windows, 1 << window)
-    Xj, Yj, Zj = affine_to_jac(X, Y, inf)
-    return Xj, Yj, Zj
+    Xp, Yp, Zp = affine_to_proj(X, Y, inf)
+    return Xp, Yp, Zp
 
 
 def scalars_to_u32(scalars: list[int]) -> jnp.ndarray:
@@ -191,7 +229,7 @@ def scalars_to_u32(scalars: list[int]) -> jnp.ndarray:
 
 
 def fixed_base_mul(base: G1Affine, scalars: list[int], window: int = 8):
-    """[s_i] * base for a batch of scalars; returns a Jacobian device point batch."""
+    """[s_i] * base for a batch of scalars; returns a projective device point batch."""
     TX, TY, TZ = _fixed_base_tables(base, window)
     sc = scalars_to_u32(scalars)
     n = sc.shape[0]
@@ -200,14 +238,14 @@ def fixed_base_mul(base: G1Affine, scalars: list[int], window: int = 8):
 
     @jax.jit
     def run(sc):
-        acc = jac_identity((n,))
+        acc = proj_identity((n,))
 
         def body(w, acc):
             limb = w // per_limb
             off = (w % per_limb) * window
             ids = (sc[:, limb] >> off) & ((1 << window) - 1)
             pt = (TX[w][ids], TY[w][ids], TZ[w][ids])
-            return jac_add(FQD, acc, pt)
+            return proj_add(FQD, acc, pt)
 
         return jax.lax.fori_loop(0, num_windows, body, acc)
 

@@ -7,18 +7,19 @@ formulated for SIMD/XLA:
   per window w (c bits):
     1. ids = w-th c-bit digit of each scalar
     2. sort points by id (XLA sort)
-    3. one *unsegmented* suffix scan T[i] = sum_{j>=i} P_j over the sorted
-       points (work-efficient Blelloch tree: ~3N point-adds, static levels)
+    3. suffix scan T[i] = sum_{j>=i} P_j over the sorted points
+       (blocked fori_loop scan, ~2N adds, O(log N / log K) graph instances
+       — see curves/scan.py for why this shape matters)
     4. the weighted bucket sum telescopes through the sorted order:
          sum_k k * S_k  =  sum_{k=1}^{2^c-1} T[searchsorted(ids, k)]
        so no segmented logic and no bucket array — gather 2^c-1 rows of T
-       and tree-reduce them (2^c adds).
-  windows combined MSB->LSB with c doublings between.
+       and blocked-sum them.
+  windows combined MSB->LSB with c doublings between (Horner).
 
-Work: ~3N + 2^c point-adds per window (vs N log N for the doubling-scan
-formulation); every add is a full-width vector op on the VPU with the fused
-Pallas Montgomery kernel underneath.  Cross-chip distribution shards points
-and tree-reduces the per-chip partials (zktpu/dist/msm.py).
+Work: ~2N + 2^c point-adds per window; every add is a full-width vector op
+on the VPU (fused Pallas complete-projective kernels underneath on TPU).  Cross-chip
+distribution shards points and tree-reduces per-chip partials
+(zktpu/dist/msm.py).
 """
 from __future__ import annotations
 
@@ -31,104 +32,82 @@ import numpy as np
 from ..fields.host import FQ
 from ..fields.fp import device_field
 from . import g1
-from .g1 import FQD, jac_add, jac_double, jac_identity, jac_tree_sum
+from .g1 import FQD, proj_add, proj_double, proj_identity
+from .scan import point_blocked_sum, point_suffix_scan
 
 
-def _interleave(a, b):
-    """Interleave rows: out[2i] = a[i], out[2i+1] = b[i]."""
-    n, D = a.shape
-    return jnp.stack([a, b], axis=1).reshape(2 * n, D)
+def window_digits(scalars_u32: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(N, 8) little-endian u32 limbs -> (W, N) c-bit window digits, LSB first.
+
+    c may be any value in [1, 16] (windows may straddle limb boundaries)."""
+    num_windows = -(-256 // c)
+    cols = []
+    for w in range(num_windows):
+        bit = w * c
+        limb, off = bit >> 5, bit & 31
+        lo = scalars_u32[:, limb] >> off
+        if off and limb + 1 < scalars_u32.shape[1]:
+            lo = lo | (scalars_u32[:, limb + 1] << (32 - off))
+        cols.append(lo & ((1 << c) - 1))
+    return jnp.stack(cols, axis=0)
 
 
-def _prefix_scan_blelloch(P):
-    """Inclusive prefix sums of Jacobian points, work-efficient (~3N adds).
-
-    Static python loops over log N halving/doubling levels: upsweep pairwise
-    sums, downsweep exclusive scan, one final add for inclusive.
-    """
-    X, Y, Z = P
-    n = X.shape[0]
-    assert n & (n - 1) == 0, "blelloch scan requires pow2 length"
-    if n == 1:
-        return P
-    levels = []
-    cur = P
-    while cur[0].shape[0] > 1:
-        even = tuple(a[0::2] for a in cur)
-        odd = tuple(a[1::2] for a in cur)
-        levels.append(even)
-        cur = jac_add(FQD, even, odd)
-    # downsweep: exclusive scan
-    ex = jac_identity((1,))
-    for even in reversed(levels):
-        odd_ex = jac_add(FQD, ex, even)
-        ex = tuple(_interleave(e, o) for e, o in zip(ex, odd_ex))
-    # inclusive[i] = exclusive[i] + P[i]
-    return jac_add(FQD, ex, P)
-
-
-def _suffix_scan(P):
-    """T[i] = sum_{j>=i} P_j via reversed Blelloch prefix scan."""
-    rev = tuple(jnp.flip(a, axis=0) for a in P)
-    inc = _prefix_scan_blelloch(rev)
-    return tuple(jnp.flip(a, axis=0) for a in inc)
-
-
-def _window_partial(scalars_u32: jnp.ndarray, P, w, c: int):
-    """Bucket-accumulated partial sum for window w (traced).
+def _window_partial(ids, P, c: int):
+    """Bucket-accumulated partial sum for one window's digit vector `ids`.
 
     sum_k k*S_k telescopes over bucket starts s_k (S_k = T[s_k] - T[s_{k+1}],
     coefficient of T[s_k] is 1 for every k >= 1)."""
-    per_limb = 32 // c
-    limb = w // per_limb
-    off = (w % per_limb) * c
-    ids = (scalars_u32[:, limb] >> off) & ((1 << c) - 1)
     order = jnp.argsort(ids)
     ids_s = ids[order].astype(jnp.int32)
     X, Y, Z = P
     Ps = (X[order], Y[order], Z[order])
-    T = _suffix_scan(Ps)
-    # extend with identity at index n (empty tail)
-    T_ext = tuple(
-        jnp.concatenate([a, jnp.zeros((1, a.shape[-1]), a.dtype)], axis=0) for a in T
-    )
+    T = point_suffix_scan(FQD, Ps)
+    # extend with the group identity (0,1,0) at index n (empty tail)
+    idr = proj_identity((1,))
+    T_ext = tuple(jnp.concatenate([a, i], axis=0) for a, i in zip(T, idr))
     ks = jnp.arange(1, 1 << c, dtype=jnp.int32)
     starts = jnp.searchsorted(ids_s, ks, side="left").astype(jnp.int32)
     gathered = tuple(a[starts] for a in T_ext)  # (2^c - 1, D) each
-    return jac_tree_sum(gathered)
+    return point_blocked_sum(FQD, gathered)
 
 
-def msm_jacobian_impl(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8):
-    """MSM over Jacobian point batch; returns a single Jacobian point (3 arrays).
+def msm_proj_impl(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8):
+    """MSM over a projective point batch; returns a single projective point (3 arrays).
 
     Unjitted trace body — call from inside an enclosing jit/shard_map region
     (the sharded MSM in zktpu/dist/msm.py traces this per shard).
 
     scalars_u32: (N, 8) canonical little-endian u32 limbs.
     """
-    num_windows = 256 // c
+    digits = window_digits(scalars_u32, c)  # (W, N), LSB window first
+    num_windows = digits.shape[0]
 
-    # compute per-window partials via scan to keep the graph at one window body
-    def scan_body(carry, w):
-        return carry, _window_partial(scalars_u32, (X, Y, Z), w, c)
+    # per-window partials via scan: the graph carries ONE window body
+    def scan_body(carry, ids):
+        pX, pY, pZ = _window_partial(ids, (X, Y, Z), c)
+        return carry, (pX, pY, pZ)
 
-    _, partials = jax.lax.scan(
-        scan_body, 0, jnp.arange(num_windows - 1, -1, -1, dtype=jnp.int32)
-    )
-    pX, pY, pZ = partials  # ordered MSB window first
+    _, partials = jax.lax.scan(scan_body, 0, digits[::-1])  # MSB first
+    pX, pY, pZ = partials
 
+    # Horner combine: acc = 2^c * acc + partial_w
     def combine(i, acc):
         def dbl(_, a):
-            return jac_double(FQD, a)
+            return proj_double(FQD, a)
 
         acc = jax.lax.fori_loop(0, c, dbl, acc)
-        return jac_add(FQD, acc, (pX[i], pY[i], pZ[i]))
+        return proj_add(FQD, acc, (pX[i][None], pY[i][None], pZ[i][None]))
 
-    acc0 = jac_add(FQD, jac_identity(()), (pX[0], pY[0], pZ[0]))
-    return jax.lax.fori_loop(1, num_windows, combine, acc0)
+    acc0 = (pX[0][None], pY[0][None], pZ[0][None])
+    out = jax.lax.fori_loop(1, num_windows, combine, acc0)
+    return tuple(a[0] for a in out)
 
 
-msm_jacobian = jax.jit(msm_jacobian_impl, static_argnames=("c",))
+msm_proj = jax.jit(msm_proj_impl, static_argnames=("c",))
+
+# Backwards-compatible aliases (pre-projective-migration names)
+msm_jacobian_impl = msm_proj_impl
+msm_jacobian = msm_proj
 
 
 def pad_msm_inputs(scalars_u32: jnp.ndarray, X, Y, Z):
@@ -142,24 +121,27 @@ def pad_msm_inputs(scalars_u32: jnp.ndarray, X, Y, Z):
         return scalars_u32, X, Y, Z
     pad = m - n
     sc = jnp.pad(scalars_u32, ((0, pad), (0, 0)))
-    X = jnp.pad(X, ((0, pad), (0, 0)))
-    Y = jnp.pad(Y, ((0, pad), (0, 0)))
-    Z = jnp.pad(Z, ((0, pad), (0, 0)))
+    iX, iY, iZ = g1.proj_identity((pad,))
+    X = jnp.concatenate([X, iX], axis=0)
+    Y = jnp.concatenate([Y, iY], axis=0)
+    Z = jnp.concatenate([Z, iZ], axis=0)
     return sc, X, Y, Z
 
 
 def pick_window(n: int) -> int:
-    """Window size heuristic (must divide 32): balances the N log N segmented
-    scan against the 2^(c+1) bucket-scan point-adds per window."""
+    """Window size heuristic: balance the ~2N-add scan per window (more
+    windows = more scans) against the 2^c-add bucket fold per window."""
     if n <= (1 << 8):
         return 4
-    if n <= (1 << 15):
+    if n <= (1 << 12):
         return 8
+    if n <= (1 << 18):
+        return 13
     return 16
 
 
 def msm(scalars: list[int], points_dev, c: int | None = None):
-    """Host wrapper: scalars (python ints) x device Jacobian points -> G1Affine."""
+    """Host wrapper: scalars (python ints) x device projective points -> G1Affine."""
     from .host_curve import G1Affine
 
     n = len(scalars)
@@ -170,5 +152,5 @@ def msm(scalars: list[int], points_dev, c: int | None = None):
     X, Y, Z = points_dev
     sc = g1.scalars_to_u32(scalars)
     sc, Xp, Yp, Zp = pad_msm_inputs(sc, X[:n], Y[:n], Z[:n])
-    R = msm_jacobian(sc, Xp, Yp, Zp, c=c)
-    return g1.jac_to_affine_host(tuple(a[None] for a in R))[0]
+    R = msm_proj(sc, Xp, Yp, Zp, c=c)
+    return g1.proj_to_affine_host(tuple(a[None] for a in R))[0]

@@ -3,7 +3,7 @@
 Points and scalars are sharded along the batch axis; each chip runs the full
 windowed-bucket MSM (zktpu/curves/msm.py) on its shard, and the per-chip
 Jacobian partial sums are combined with a log-depth tree of point additions.
-Cross-chip traffic is exactly n_dev Jacobian points (3 field elements each)
+Cross-chip traffic is exactly n_dev projective points (3 field elements each)
 per commit — the communication pattern SURVEY.md §2.C prescribes for
 replacing the reference's sequential per-term loop (kzg/src/scheme.rs:84-96)
 at scale.
@@ -16,20 +16,20 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..curves.msm import msm_jacobian_impl
-from ..curves.g1 import jac_tree_sum
+from ..curves.msm import msm_proj_impl
+from ..curves.g1 import proj_tree_sum
 
 shard_map = jax.shard_map
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis_name", "c"))
 def msm_jacobian_sharded(scalars_u32, X, Y, Z, *, mesh, axis_name="shard", c=8):
-    """Sharded MSM: scalars (N, 8) u32 + Jacobian point arrays (N, D) sharded
-    along axis 0 of `mesh`; returns one Jacobian point (3 arrays of shape (D,)).
+    """Sharded MSM: scalars (N, 8) u32 + projective point arrays (N, D) sharded
+    along axis 0 of `mesh`; returns one projective point (3 arrays of shape (D,)).
     """
 
     def local(sc, Xs, Ys, Zs):
-        pX, pY, pZ = msm_jacobian_impl(sc, Xs, Ys, Zs, c=c)
+        pX, pY, pZ = msm_proj_impl(sc, Xs, Ys, Zs, c=c)
         return pX[None], pY[None], pZ[None]
 
     sharded = P(axis_name, None)
@@ -40,4 +40,4 @@ def msm_jacobian_sharded(scalars_u32, X, Y, Z, *, mesh, axis_name="shard", c=8):
         out_specs=(sharded, sharded, sharded),
     )
     partials = fn(scalars_u32, X, Y, Z)  # (n_dev, D) each
-    return jac_tree_sum(partials)
+    return proj_tree_sum(partials)

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for batched Montgomery multiplication.
+"""Pallas TPU kernels for batched Montgomery field arithmetic.
 
 One fused VMEM-resident kernel per batch tile replaces the ~150-op XLA graph
 of DeviceField._mont_mul (zktpu/fields/fp.py): the (N, D, D) partial-product
@@ -6,11 +6,16 @@ intermediates never touch HBM, so the op becomes compute-bound on the VPU
 instead of HBM-bandwidth-bound.
 
 Layout: HBM arrays are (N, D) little-endian base-2^16 digits in uint32.  The
-kernel transposes each (T, D) tile to (D, T) so the batch rides the 128-wide
+kernels transpose each (T, D) tile to (D, T) so the batch rides the 128-wide
 lane axis and digit shifts are cheap sublane slices.  The algorithm is the
 same exact-arithmetic Montgomery reduction as the jnp path (schoolbook
 columns split lo16/hi16, Kogge-Stone carry resolve, m = t*(-p^-1) mod R,
 t + m*p, conditional subtract), so outputs are bit-identical.
+
+``RowOps`` packages the in-kernel building blocks (mul/add/sub/select over
+(D, T) row-major digit planes) so larger fused kernels — the Jacobian point
+kernels in zktpu/curves/pallas_g1.py — can compose whole group-law formulas
+inside a single VMEM region.
 """
 from __future__ import annotations
 
@@ -73,42 +78,74 @@ def _carry_rows(cols: jnp.ndarray, num_out: int):
     return digits[:num_out], top
 
 
-def _make_kernel(spec: FieldSpec):
+def _pad_rows_at(x, start, total):
+    """Place x's rows at [start, start+rows) within `total` rows."""
+    rows = x.shape[0]
+    parts = []
+    if start:
+        parts.append(jnp.zeros((start,) + x.shape[1:], x.dtype))
+    parts.append(x)
+    tail = total - start - rows
+    if tail:
+        parts.append(jnp.zeros((tail,) + x.shape[1:], x.dtype))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x
+
+
+def row_consts(spec: FieldSpec) -> np.ndarray:
+    """Host-side (3, D) constant block every row-ops kernel takes as input.
+
+    Pallas kernels may not capture array constants, so the three per-field
+    digit vectors used by carry logic (0xFFFF - p, R - p, p) ride in as a
+    tiny extra operand; scalar digit constants (p, -p^-1) are baked into the
+    instruction stream instead.
+    """
     D = spec.num_digits
     p_digits = _digits(spec.modulus, D)
-    pinv_digits = _digits(spec.mont_pinv_full, D)
-    mask_minus_p = np.array(
-        [0xFFFF - d for d in p_digits], dtype=np.uint32
-    ).reshape(D, 1)
-    rmp_col = np.array(
-        _digits(spec.mont_r - spec.modulus, D), dtype=np.uint32
-    ).reshape(D, 1)
+    return np.stack(
+        [
+            np.array([0xFFFF - d for d in p_digits], dtype=np.uint32),
+            np.array(_digits(spec.mont_r - spec.modulus, D), dtype=np.uint32),
+            np.array(p_digits, dtype=np.uint32),
+        ]
+    )
 
-    def _pad_rows(x, start, total):
-        """Place x's rows at [start, start+rows) within `total` rows."""
-        rows = x.shape[0]
-        parts = []
-        if start:
-            parts.append(jnp.zeros((start,) + x.shape[1:], x.dtype))
-        parts.append(x)
-        tail = total - start - rows
-        if tail:
-            parts.append(jnp.zeros((tail,) + x.shape[1:], x.dtype))
-        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x
 
-    def conv_full(a, b_rows):
-        """Schoolbook columns of a (D,T) x b (D,T) -> (2D, T) sums."""
+class RowOps:
+    """In-kernel field ops over (D, T) row-major digit planes.
+
+    All methods trace plain jnp ops valid inside a Pallas kernel body.
+    Construct INSIDE the kernel with ``RowOps(spec, consts_ref[:].T)`` where
+    the consts operand is ``row_consts(spec)``.
+    """
+
+    def __init__(self, spec: FieldSpec, consts_dt: jnp.ndarray):
+        self.spec = spec
+        D = spec.num_digits
+        self.D = D
+        self.p_digits = _digits(spec.modulus, D)
+        self.pinv_digits = _digits(spec.mont_pinv_full, D)
+        # consts_dt: (D, 3) — columns are [0xFFFF - p, R - p, p]
+        self.c_mask_minus_p = consts_dt[:, 0:1]
+        self.c_rmp = consts_dt[:, 1:2]
+        self.c_p = consts_dt[:, 2:3]
+
+    # -- structural helpers ------------------------------------------------
+
+    def conv_full(self, a, b):
+        """Schoolbook product columns of a (D,T) x b (D,T) -> (2D, T) sums."""
+        D = self.D
         acc = None
         for j in range(D):
-            prod = a * b_rows[j]
-            lo = _pad_rows(prod & _MASK, j, 2 * D)
-            hi = _pad_rows(prod >> 16, j + 1, 2 * D)
+            prod = a * b[j : j + 1, :]
+            lo = _pad_rows_at(prod & _MASK, j, 2 * D)
+            hi = _pad_rows_at(prod >> 16, j + 1, 2 * D)
             term = lo + hi
             acc = term if acc is None else acc + term
         return acc
 
-    def conv_const_low(a, const_digits):
+    def conv_const_low(self, a, const_digits):
         """Low D columns of a (D,T) x constant."""
+        D = self.D
         T = a.shape[1]
         acc = jnp.zeros((D, T), jnp.uint32)
         for j in range(D):
@@ -116,12 +153,13 @@ def _make_kernel(spec: FieldSpec):
             if cj == 0:
                 continue
             prod = a * np.uint32(cj)
-            acc = acc + _pad_rows((prod & _MASK)[: D - j], j, D)
+            acc = acc + _pad_rows_at((prod & _MASK)[: D - j], j, D)
             if j + 1 < D:
-                acc = acc + _pad_rows((prod >> 16)[: D - j - 1], j + 1, D)
+                acc = acc + _pad_rows_at((prod >> 16)[: D - j - 1], j + 1, D)
         return acc
 
-    def conv_const_full(a, const_digits):
+    def conv_const_full(self, a, const_digits):
+        D = self.D
         T = a.shape[1]
         acc = jnp.zeros((2 * D, T), jnp.uint32)
         for j in range(D):
@@ -129,52 +167,82 @@ def _make_kernel(spec: FieldSpec):
             if cj == 0:
                 continue
             prod = a * np.uint32(cj)
-            acc = acc + _pad_rows(prod & _MASK, j, 2 * D)
-            acc = acc + _pad_rows(prod >> 16, j + 1, 2 * D)
+            acc = acc + _pad_rows_at(prod & _MASK, j, 2 * D)
+            acc = acc + _pad_rows_at(prod >> 16, j + 1, 2 * D)
         return acc
 
-    def cond_sub_p(a, carry_top, mask_minus_p, rmp_col):
+    def cond_sub_p(self, a, carry_top):
         """Reduce carry_top * R + a (< 2p) into [0, p)."""
         # a - p via two's complement rows
-        v = a + mask_minus_p
+        v = a + self.c_mask_minus_p
         v = jnp.concatenate([v[0:1] + 1, v[1:]], axis=0)
         d, top = _ks_resolve_rows(v)
         ge_p = (top >> 16) > 0  # no borrow -> a >= p
-        e_v = a + rmp_col
+        e_v = a + self.c_rmp
         e, _ = _ks_resolve_rows(e_v)
         res = jnp.where(ge_p[None, :], d, a)
         return jnp.where((carry_top > 0)[None, :], e, res)
 
-    def kernel(const_ref, a_ref, b_ref, out_ref):
-        a = a_ref[:].T  # (D, T)
-        b = b_ref[:].T
-        b_rows = [b[j : j + 1, :] for j in range(D)]
-        cols = conv_full(a, b_rows)
+    # -- field ops -----------------------------------------------------------
+
+    def mul(self, a, b):
+        """Montgomery product over (D, T) planes: a*b*R^-1 mod p."""
+        D = self.D
+        cols = self.conv_full(a, b)
         t_lo, _ = _carry_rows(cols[:D], D)
-        m_cols = conv_const_low(t_lo, pinv_digits)
+        m_cols = self.conv_const_low(t_lo, self.pinv_digits)
         m, _ = _carry_rows(m_cols, D)
-        mp_cols = conv_const_full(m, p_digits)
+        mp_cols = self.conv_const_full(m, self.p_digits)
         _, c_low_total = _carry_rows(cols[:D] + mp_cols[:D], D)
         hi = cols[D:] + mp_cols[D:]
         hi = jnp.concatenate([hi[0:1] + c_low_total[None, :], hi[1:]], axis=0)
         res, carry_top = _carry_rows(hi, D)
-        out_ref[:] = cond_sub_p(
-            res, carry_top, const_ref[0:1, :].T, const_ref[1:2, :].T
-        ).T
+        return self.cond_sub_p(res, carry_top)
 
-    consts = np.stack([mask_minus_p[:, 0], rmp_col[:, 0]])  # (2, D)
-    return kernel, consts
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def add(self, a, b):
+        v = a + b  # digits < 2^16 each -> rows < 2^17
+        digits, top = _ks_resolve_rows(v)
+        return self.cond_sub_p(digits, top >> 16)
+
+    def sub(self, a, b):
+        # a + (R-1 - b) + 1 over rows; borrow -> add p back
+        v = a + (jnp.asarray(_MASK, jnp.uint32) - b)
+        v = jnp.concatenate([v[0:1] + 1, v[1:]], axis=0)
+        d, top = _ks_resolve_rows(v)
+        no_borrow = (top >> 16) > 0
+        vp = d + self.c_p
+        dp, _ = _ks_resolve_rows(vp)
+        return jnp.where(no_borrow[None, :], d, dp)
+
+    def dbl(self, a):
+        return self.add(a, a)
+
+    def is_zero(self, a):
+        """(D, T) -> (1, T) bool: all digits zero."""
+        return jnp.sum(a, axis=0, keepdims=True) == 0
+
+    def select(self, cond_row, a, b):
+        """cond_row: (1, T) bool; broadcasts over rows."""
+        return jnp.where(cond_row, a, b)
 
 
 @functools.lru_cache(maxsize=None)
 def _mont_mul_call(spec: FieldSpec, n_tiles: int, interpret: bool):
     D = spec.num_digits
-    kernel, consts = _make_kernel(spec)
+    consts = row_consts(spec)
+
+    def kernel(const_ref, a_ref, b_ref, out_ref):
+        ops = RowOps(spec, const_ref[:].T)
+        out_ref[:] = ops.mul(a_ref[:].T, b_ref[:].T).T
+
     call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -182,6 +250,7 @@ def _mont_mul_call(spec: FieldSpec, n_tiles: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, D), jnp.uint32),
         interpret=interpret,
     )
+
     # keep consts as numpy: a jnp array materialized during a traced first
     # call would leak that trace's tracer into the lru_cached closure
     def run(a, b):

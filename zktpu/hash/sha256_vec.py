@@ -51,23 +51,34 @@ def _rotr(x, n):
 
 @jax.jit
 def sha256_single_block(words: jnp.ndarray) -> jnp.ndarray:
-    """words: (N, 16) uint32 big-endian message words -> (N, 8) digest words."""
+    """words: (N, 16) uint32 big-endian message words -> (N, 8) digest words.
+
+    The message schedule is unrolled (pure dataflow); the 64 compression
+    rounds run under lax.fori_loop — one round body in the graph instead of
+    64 copies, which compiles ~3x faster and sidesteps an XLA:CPU codegen
+    hang observed with the fully unrolled form on some hosts.
+    """
+    n = words.shape[0]
     w = [words[:, i] for i in range(16)]
     for t in range(16, 64):
         s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
         s1 = _rotr(w[t - 2], 17) ^ _rotr(w[t - 2], 19) ^ (w[t - 2] >> 10)
         w.append(w[t - 16] + s0 + w[t - 7] + s1)
-    a, b, c, d, e, f, g, h = [jnp.broadcast_to(jnp.uint32(v), words.shape[:1]) for v in _H0]
-    for t in range(64):
+    W = jnp.stack(w, axis=0)  # (64, N)
+    K = jnp.asarray(_K)  # (64,)
+    state0 = tuple(jnp.broadcast_to(jnp.uint32(int(v)), (n,)) for v in _H0)
+
+    def round_body(t, st):
+        a, b, c, d, e, f, g, h = st
         S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        t1 = h + S1 + ch + jnp.uint32(int(_K[t])) + w[t]
+        t1 = h + S1 + ch + K[t] + W[t]
         S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & c) ^ (b & c)
-        t2 = S0 + maj
-        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-    outs = [a, b, c, d, e, f, g, h]
-    return jnp.stack([o + jnp.uint32(int(v)) for o, v in zip(outs, _H0)], axis=1)
+        return (t1 + S0 + maj, a, b, c, d + t1, e, f, g)
+
+    st = jax.lax.fori_loop(0, 64, round_body, state0)
+    return jnp.stack([o + jnp.uint32(int(v)) for o, v in zip(st, _H0)], axis=1)
 
 
 def _decimal_digits(vals: np.ndarray, max_digits: int = 20):

@@ -15,7 +15,7 @@ from ..fields.fp import device_field
 from ..poly.poly import Poly
 from ..curves import g1 as g1mod
 from ..curves.host_curve import G1Affine
-from ..curves.msm import msm_jacobian
+from ..curves.msm import msm_proj
 from ..curves.pairing import pairing_product, Fq12
 from ..transcript.chacha import StdRng
 from .srs import Srs
@@ -104,13 +104,13 @@ class KzgScheme:
                     acc = acc + pt.mul(s)
             return KzgCommitment(acc)
         sc = _mont_digits_to_u32(coeffs)
-        X, Y, Z = self.srs.g1_jac
+        X, Y, Z = self.srs.g1_proj
         from ..curves.msm import pad_msm_inputs, pick_window
 
         c = pick_window(n)
         sc, Xp, Yp, Zp = pad_msm_inputs(sc, X[:n], Y[:n], Z[:n])
-        R = msm_jacobian(sc, Xp, Yp, Zp, c=c)
-        pt = g1mod.jac_to_affine_host(tuple(a[None] for a in R))[0]
+        R = msm_proj(sc, Xp, Yp, Zp, c=c)
+        pt = g1mod.proj_to_affine_host(tuple(a[None] for a in R))[0]
         return KzgCommitment(pt)
 
     def commit_vector(self, coeffs: list[int]) -> KzgCommitment:

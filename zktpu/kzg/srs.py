@@ -16,9 +16,9 @@ from ..curves.host_curve import G1Affine, G2Affine
 
 
 class Srs:
-    def __init__(self, g1_jac, g2: G2Affine, g2s: G2Affine, size: int, secret: int | None = None):
-        # g1_jac: device Jacobian arrays (X, Y, Z) each (size, D)
-        self.g1_jac = g1_jac
+    def __init__(self, g1_proj, g2: G2Affine, g2s: G2Affine, size: int, secret: int | None = None):
+        # g1_proj: device projective arrays (X, Y, Z) each (size, D)
+        self.g1_proj = g1_proj
         self._g2 = g2
         self._g2s = g2s
         self.size = size
@@ -44,7 +44,7 @@ class Srs:
 
     def g1_points_host(self) -> list[G1Affine]:
         if self._g1_host is None:
-            self._g1_host = g1.jac_to_affine_host(self.g1_jac)
+            self._g1_host = g1.proj_to_affine_host(self.g1_proj)
         return self._g1_host
 
     def g2(self) -> G2Affine:
