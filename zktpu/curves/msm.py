@@ -7,16 +7,16 @@ formulated for SIMD/XLA:
   per window w (c bits):
     1. ids = w-th c-bit digit of each scalar
     2. sort points by id (XLA sort)
-    3. suffix scan T[i] = sum_{j>=i} P_j over the sorted points
-       (blocked fori_loop scan, ~2N adds, O(log N / log K) graph instances
-       — see curves/scan.py for why this shape matters)
+    3. sparse suffix scan: T[i] = sum_{j>=i} P_j evaluated only at the
+       2^c - 1 bucket-start positions (blocked fori_loop scan, ~1.1N adds,
+       O(log N / log K) graph instances — see curves/scan.py)
     4. the weighted bucket sum telescopes through the sorted order:
          sum_k k * S_k  =  sum_{k=1}^{2^c-1} T[searchsorted(ids, k)]
-       so no segmented logic and no bucket array — gather 2^c-1 rows of T
-       and blocked-sum them.
+       so no segmented logic and no bucket array — blocked-sum the 2^c - 1
+       gathered suffix values.
   windows combined MSB->LSB with c doublings between (Horner).
 
-Work: ~2N + 2^c point-adds per window; every add is a full-width vector op
+Work: ~1.1N + 2^(c+1) point-adds per window; every add is a full-width vector op
 on the VPU (fused Pallas complete-projective kernels underneath on TPU).  Cross-chip
 distribution shards points and tree-reduces per-chip partials
 (zktpu/dist/msm.py).
@@ -33,7 +33,7 @@ from ..fields.host import FQ
 from ..fields.fp import device_field
 from . import g1
 from .g1 import FQD, proj_add, proj_double, proj_identity
-from .scan import point_blocked_sum, point_suffix_scan
+from .scan import point_blocked_sum, point_suffix_scan_sparse
 
 
 def window_digits(scalars_u32: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -61,13 +61,10 @@ def _window_partial(ids, P, c: int):
     ids_s = ids[order].astype(jnp.int32)
     X, Y, Z = P
     Ps = (X[order], Y[order], Z[order])
-    T = point_suffix_scan(FQD, Ps)
-    # extend with the group identity (0,1,0) at index n (empty tail)
-    idr = proj_identity((1,))
-    T_ext = tuple(jnp.concatenate([a, i], axis=0) for a, i in zip(T, idr))
     ks = jnp.arange(1, 1 << c, dtype=jnp.int32)
     starts = jnp.searchsorted(ids_s, ks, side="left").astype(jnp.int32)
-    gathered = tuple(a[starts] for a in T_ext)  # (2^c - 1, D) each
+    # suffix sums evaluated only at the bucket starts (starts == n -> identity)
+    gathered = point_suffix_scan_sparse(FQD, Ps, starts)  # (2^c - 1, D) each
     return point_blocked_sum(FQD, gathered)
 
 

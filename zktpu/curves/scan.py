@@ -80,6 +80,56 @@ def point_blocked_sum(fq: DeviceField, P, K: int = 16):
     return tuple(a[0] for a in P)
 
 
+def point_suffix_scan_sparse(fq: DeviceField, P, idx, K: int = 16):
+    """T[idx] where T[i] = sum_{j>=i} P[j], for a (M,) int32 index vector.
+
+    Like point_suffix_scan but skips the full-width broadcast phase: after
+    the within-block suffix scans (N adds) and the recursive scan of block
+    totals (~2N/K adds), the block-suffix correction is added only at the M
+    gathered positions (M adds) — ~1.1N + M total adds instead of ~2N + M.
+    This is the Pippenger inner loop's shape: M = 2^c - 1 bucket starts.
+
+    idx entries equal to N (empty suffix) return the group identity.
+    """
+    n = P[0].shape[0]
+    g = -(-n // K)
+    Pp = _pad_identity(fq, P, g * K)
+    x = tuple(a.reshape(g, K, -1) for a in Pp)  # (G, K, D)
+
+    # phase 1: within-block suffix scan, sequential over K (reverse order)
+    def body(i, state):
+        carry, out = state
+        t = K - 2 - i
+        cur = tuple(a[:, t] for a in x)
+        carry = _add(fq, carry, cur)
+        out = tuple(
+            jax.lax.dynamic_update_slice(o, c[:, None], (0, t, 0))
+            for o, c in zip(out, carry)
+        )
+        return carry, out
+
+    carry0 = tuple(a[:, K - 1] for a in x)
+    row_tot, S = jax.lax.fori_loop(0, K - 1, body, (carry0, x))
+    S_flat = tuple(a.reshape(g * K, -1) for a in S)
+
+    # phase 2: suffix-scan the G block totals, shift to exclusive
+    R = point_suffix_scan(fq, row_tot, K)  # (G, D) inclusive
+    idr = _identity_rows(fq, 1)
+    Rx = tuple(jnp.concatenate([r[1:], i], axis=0) for r, i in zip(R, idr))
+
+    # phase 3: correction only at the gathered positions
+    idx = idx.astype(jnp.int32)
+    valid = (idx < n)[:, None]
+    idx_c = jnp.minimum(idx, n - 1)
+    gathered = _add(
+        fq,
+        tuple(a[idx_c] for a in S_flat),
+        tuple(r[idx_c // K] for r in Rx),
+    )
+    ident = _identity_rows(fq, idx.shape[0])
+    return tuple(jnp.where(valid, a, i) for a, i in zip(gathered, ident))
+
+
 def point_suffix_scan(fq: DeviceField, P, K: int = 16):
     """Inclusive suffix scan T[i] = sum_{j>=i} P[j] over a (N, D) point batch.
 

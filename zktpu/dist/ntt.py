@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+shard_map = jax.shard_map
 
 from ..fields.host import FieldSpec
 from ..fields.fp import device_field
