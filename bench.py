@@ -3,11 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no performance numbers at all (BASELINE.md: no
-benches/, no criterion dep, no timings in any doc), so vs_baseline is
-reported against the north-star accounting unit itself (1.0 = the measured
-value); the driver's BENCH_r{N}.json history is the cross-round comparison.
+benches/, no criterion dep, no timings in any doc), so vs_baseline chains to
+the most recent BENCH_r{N}.json points/s value in-repo (the driver's history
+is the only cross-round accounting anchor); 1.0 when no prior round exists.
 
-Config: MSM over N = 2^16 BLS12-381 G1 points (BASELINE.json config #1
+Config: MSM over N = 2^20 BLS12-381 G1 points (BASELINE.json config #1
 scaled up; stretch target 2^22).  Steady-state timing after one compile.
 """
 from __future__ import annotations
@@ -18,9 +18,32 @@ import sys
 import time
 
 
+def prev_round_points_per_s() -> float | None:
+    """Latest kzg_commit_msm points/s recorded by the driver (BENCH_r{N}.json)."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_val = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") or {}
+            if parsed.get("unit") == "points/s" and int(m.group(1)) > best_n:
+                best_n, best_val = int(m.group(1)), float(parsed["value"])
+        except (OSError, ValueError, KeyError):
+            continue
+    return best_val
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--log-n", type=int, default=16, help="log2 number of MSM points")
+    ap.add_argument("--log-n", type=int, default=20, help="log2 number of MSM points")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--window", type=int, default=None)
     args = ap.parse_args()
@@ -100,13 +123,14 @@ def main() -> None:
         f"setup={setup_s:.1f}s compile={compile_s:.1f}s best={best * 1e3:.1f}ms",
         file=sys.stderr,
     )
+    prev = prev_round_points_per_s()
     print(
         json.dumps(
             {
                 "metric": f"kzg_commit_msm_points_per_s_2e{args.log_n}",
                 "value": round(pps, 1),
                 "unit": "points/s",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(pps / prev, 3) if prev else 1.0,
             }
         )
     )

@@ -27,6 +27,22 @@ def test_srs_roundtrip(tmp_path):
     assert srs2 == srs
 
 
+def test_srs_rejects_unversioned_checkpoint(tmp_path):
+    """Pre-versioning files stored Jacobian coords; silently decoding them
+    as projective would corrupt every derived commitment — must reject."""
+    import numpy as np
+    import pytest
+
+    srs = Srs.new_from_secret(777, 6)
+    path = str(tmp_path / "srs_old.npz")
+    save_srs(path, srs)
+    data = dict(np.load(path, allow_pickle=False))
+    del data["format"]  # simulate a pre-versioning checkpoint
+    np.savez_compressed(path, **data)
+    with pytest.raises(ValueError, match="format mismatch"):
+        load_srs(path)
+
+
 def test_fri_proof_roundtrip(tmp_path):
     poly = Poly.from_ints(GOLDILOCKS, [1, 2, 3, 4, 5, 6])
     proof = fri_prove(poly, blowup_factor=2, number_of_queries=2)

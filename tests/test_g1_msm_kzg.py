@@ -41,7 +41,7 @@ def test_fixed_base_mul():
     assert proj_to_affine_host(R) == [G.mul(s) for s in scalars]
 
 
-@pytest.mark.parametrize("n,c", [(1, 4), (5, 4), (33, 4), (70, 8)])
+@pytest.mark.parametrize("n,c", [(1, 4), (5, 4), (33, 4), (70, 8), (100, 13)])
 def test_msm_matches_naive(n, c):
     rng = random.Random(n)
     scalars = [rng.randrange(host.FR_MODULUS) for _ in range(n)]
@@ -53,6 +53,26 @@ def test_msm_matches_naive(n, c):
     for s, pt in zip(scalars, base_pts):
         want = want + pt.mul(s)
     assert got == want
+
+
+@pytest.mark.parametrize("c", [4, 8, 13, 16])
+def test_window_digits_limb_straddling(c):
+    """c=13/16 windows straddle u32 limb boundaries (incl. the top window
+    with no 9th limb, curves/msm.py:49-51); check every digit against host
+    bit slicing of full-width scalars."""
+    import numpy as np
+    from zktpu.curves.g1 import scalars_to_u32
+    from zktpu.curves.msm import window_digits
+
+    rng = random.Random(c)
+    scalars = [rng.randrange(1 << 256) % host.FR_MODULUS for _ in range(17)]
+    scalars += [0, 1, host.FR_MODULUS - 1, (1 << 255) - 1]
+    digits = np.asarray(window_digits(scalars_to_u32(scalars), c))
+    num_windows = -(-256 // c)
+    assert digits.shape == (num_windows, len(scalars))
+    for w in range(num_windows):
+        for i, s in enumerate(scalars):
+            assert digits[w, i] == (s >> (w * c)) & ((1 << c) - 1), (w, i, c)
 
 
 @pytest.fixture(scope="module")

@@ -6,6 +6,7 @@ TPU-first: limb-decomposed Montgomery field kernels, Pippenger MSM, radix-2
 NTT, vectorized SHA-256 Merkle hashing, and shard_map-based multi-chip
 distribution.  See SURVEY.md for the structural map of the reference.
 """
+import hashlib
 import os
 import platform
 
@@ -16,8 +17,26 @@ import platform
 # XLA:CPU AOT executables are not portable across machines — loading an
 # entry compiled on a host with a different ISA (e.g. AMX/AVX-512 variants)
 # silently produces executables that hang or SIGILL.  Scope the cache
-# directory by a host fingerprint so each machine keeps its own entries.
-_fingerprint = f"{platform.machine()}-{platform.node()}"
+# directory by the actual CPU feature set (hash of /proc/cpuinfo 'flags'),
+# not the hostname: hostnames can collide across different-ISA container
+# hosts and ephemeral hostnames would needlessly defeat the cache.
+
+
+def _isa_fingerprint() -> str:
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        flags = platform.processor()
+    digest = hashlib.sha256(flags.encode()).hexdigest()[:12]
+    return f"{platform.machine()}-{digest}"
+
+
+_fingerprint = _isa_fingerprint()
 _cache_root = os.environ.get(
     "ZKTPU_JAX_CACHE",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),

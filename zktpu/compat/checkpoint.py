@@ -1,9 +1,11 @@
 """Checkpoint / resume serialization (JSON + npz).
 
 Formats:
-  - SRS -> .npz: device Jacobian G1 power arrays (uint32 digits) + G2 coords.
-    (kzg/src/srs.rs has no serialization; the reference can only rebuild an
-    SRS from its secret.)
+  - SRS -> .npz: device G1 power arrays in complete-projective form (RCB,
+    identity (0:1:0)) as uint32 Montgomery digits + G2 coords, tagged with a
+    format version so representation migrations cannot silently misread old
+    files.  (kzg/src/srs.rs has no serialization; the reference can only
+    rebuild an SRS from its secret.)
   - PLONK proof -> JSON: 9 commitments as affine ints, 6 evaluations, u,
     degree (plonk/src/prover.rs:24-58 struct, serde-less there).
   - FRI proof -> JSON: roots, const_val, decommitments incl. Merkle paths
@@ -49,6 +51,13 @@ def _point_from(obj: dict) -> KzgCommitment:
 # -- SRS --------------------------------------------------------------------
 
 
+# On-disk point representation version.  v2 = complete projective (RCB,
+# identity (0:1:0)).  Pre-versioning files stored Jacobian coords with
+# Z != 1, which would silently decode to wrong points (x = X/Z instead of
+# X/Z^2) under the projective reader — so unversioned files are rejected.
+_SRS_FORMAT = "srs-projective-v2"
+
+
 def save_srs(path: str, srs: Srs) -> None:
     X, Y, Z = (np.asarray(a) for a in srs.g1_proj)
     g2, g2s = srs.g2(), srs.g2s()
@@ -57,13 +66,24 @@ def save_srs(path: str, srs: Srs) -> None:
         g2.x.c0, g2.x.c1, g2.y.c0, g2.y.c1,
         g2s.x.c0, g2s.x.c1, g2s.y.c0, g2s.y.c1,
     ]
-    np.savez_compressed(path, X=X, Y=Y, Z=Z, meta_hex=np.array([_h(v) for v in meta]))
+    np.savez_compressed(
+        path,
+        X=X, Y=Y, Z=Z,
+        meta_hex=np.array([_h(v) for v in meta]),
+        format=np.array([_SRS_FORMAT]),
+    )
 
 
 def load_srs(path: str) -> Srs:
     from ..curves.host_curve import Fq2
 
     data = np.load(path, allow_pickle=False)
+    if "format" not in data or str(data["format"][0]) != _SRS_FORMAT:
+        found = str(data["format"][0]) if "format" in data else "none (pre-versioning Jacobian)"
+        raise ValueError(
+            f"SRS checkpoint format mismatch: expected {_SRS_FORMAT!r}, found {found!r}; "
+            "regenerate the SRS checkpoint with save_srs"
+        )
     meta = [_i(s) for s in data["meta_hex"]]
     size = meta[0]
     g2 = G2Affine(Fq2(meta[1], meta[2]), Fq2(meta[3], meta[4]))

@@ -2,7 +2,8 @@
 
 Points and scalars are sharded along the batch axis; each chip runs the full
 windowed-bucket MSM (zktpu/curves/msm.py) on its shard, and the per-chip
-Jacobian partial sums are combined with a log-depth tree of point additions.
+complete-projective partial sums are combined with a log-depth tree of point
+additions.
 Cross-chip traffic is exactly n_dev projective points (3 field elements each)
 per commit — the communication pattern SURVEY.md §2.C prescribes for
 replacing the reference's sequential per-term loop (kzg/src/scheme.rs:84-96)

@@ -13,8 +13,8 @@ Reference parity notes (citations into /root/reference):
     replication of ``Fp::rand`` (see zktpu/transcript/ark_rand.py).
 
 All BLS12-381 constants below are *derived* from the BLS parameter
-x = -0xd201000000010000 and checked in tests (tests/test_fields_host.py), not
-copied from the reference.
+x = -0xd201000000010000 and checked in tests (tests/test_fields.py,
+tests/test_curves_host.py), not copied from the reference.
 """
 from __future__ import annotations
 

@@ -13,9 +13,9 @@ columns split lo16/hi16, Kogge-Stone carry resolve, m = t*(-p^-1) mod R,
 t + m*p, conditional subtract), so outputs are bit-identical.
 
 ``RowOps`` packages the in-kernel building blocks (mul/add/sub/select over
-(D, T) row-major digit planes) so larger fused kernels — the Jacobian point
-kernels in zktpu/curves/pallas_g1.py — can compose whole group-law formulas
-inside a single VMEM region.
+(D, T) row-major digit planes) so larger fused kernels — the complete-
+projective point kernels in zktpu/curves/pallas_g1.py — can compose whole
+group-law formulas inside a single VMEM region.
 """
 from __future__ import annotations
 
