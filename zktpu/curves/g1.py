@@ -228,11 +228,10 @@ def scalars_to_u32(scalars: list[int]) -> jnp.ndarray:
     return jnp.asarray(arr)
 
 
-def fixed_base_mul(base: G1Affine, scalars: list[int], window: int = 8):
-    """[s_i] * base for a batch of scalars; returns a projective device point batch."""
+def fixed_base_mul_u32(base: G1Affine, scalars_u32: jnp.ndarray, window: int = 8):
+    """[s_i] * base for (N, 8) canonical u32-limb device scalars -> projective batch."""
     TX, TY, TZ = _fixed_base_tables(base, window)
-    sc = scalars_to_u32(scalars)
-    n = sc.shape[0]
+    n = scalars_u32.shape[0]
     num_windows = TX.shape[0]
     per_limb = 32 // window
 
@@ -249,4 +248,9 @@ def fixed_base_mul(base: G1Affine, scalars: list[int], window: int = 8):
 
         return jax.lax.fori_loop(0, num_windows, body, acc)
 
-    return run(sc)
+    return run(scalars_u32)
+
+
+def fixed_base_mul(base: G1Affine, scalars: list[int], window: int = 8):
+    """[s_i] * base for a batch of host-int scalars; returns a projective batch."""
+    return fixed_base_mul_u32(base, scalars_to_u32(scalars), window)

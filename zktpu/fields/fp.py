@@ -49,26 +49,26 @@ def ints_to_digits(values, num_digits: int) -> np.ndarray:
             )
         return out
     values = list(values)
-    out = np.zeros((len(values), num_digits), dtype=np.uint32)
-    for n, v in enumerate(values):
-        v = int(v)
-        for i in range(num_digits):
-            out[n, i] = (v >> (16 * i)) & 0xFFFF
-            if v >> (16 * (i + 1)) == 0:
-                break
-    return out
+    if not values:
+        return np.zeros((0, num_digits), dtype=np.uint32)
+    # single to_bytes per int + one frombuffer beats a per-digit python loop
+    # by ~20x at 2^20 elements
+    nbytes = 2 * num_digits
+    buf = b"".join(int(v).to_bytes(nbytes, "little") for v in values)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(values), num_digits)
+    return u16.astype(np.uint32)
 
 
 def digits_to_ints(digits: np.ndarray) -> list[int]:
-    digits = np.asarray(digits, dtype=np.uint64)
-    flat = digits.reshape(-1, digits.shape[-1])
-    out = []
-    for row in flat:
-        v = 0
-        for i in range(len(row) - 1, -1, -1):
-            v = (v << 16) | int(row[i])
-        out.append(v)
-    return out
+    flat = np.ascontiguousarray(
+        np.asarray(digits, dtype=np.uint32).reshape(-1, digits.shape[-1]).astype("<u2")
+    )
+    nbytes = 2 * flat.shape[-1]
+    buf = flat.tobytes()
+    return [
+        int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little")
+        for i in range(flat.shape[0])
+    ]
 
 
 def _shift_digits(x: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -350,6 +350,26 @@ class DeviceField:
 
     def cumsum(self, a: jnp.ndarray, axis: int = 0, reverse: bool = False) -> jnp.ndarray:
         return self._hillis_steele(self.add, a, self.zero_np, axis, reverse)
+
+    def powers(self, base: int, count: int) -> jnp.ndarray:
+        """[1, z, z^2, ..., z^{count-1}] as (count, D) Montgomery digits.
+
+        Log-depth device cumprod — replaces O(count) host bignum loops when
+        building power tables (offset powers, evaluation tables, SRS powers).
+        """
+        base = int(base) % self.spec.modulus
+        if count <= 0:
+            return jnp.zeros((0, self.num_digits), dtype=jnp.uint32)
+        g = self.encode_int(base)
+        arr = jnp.broadcast_to(g, (count, self.num_digits))
+        arr = jnp.concatenate([jnp.asarray(self.one_np)[None], arr[:-1]], axis=0)
+        return self.cumprod(arr, axis=0)
+
+    def to_u32_limbs(self, mont_digits: jnp.ndarray) -> jnp.ndarray:
+        """(..., D) Montgomery digits -> (..., D/2) canonical little-endian
+        u32 limbs, entirely on device (MSM scalar format)."""
+        raw = self.from_mont(mont_digits)
+        return raw[..., 0::2] | (raw[..., 1::2] << 16)
 
     def batch_inv(self, a: jnp.ndarray, host_inv) -> jnp.ndarray:
         """Montgomery-trick batch inversion over the leading axis.

@@ -77,10 +77,7 @@ class KzgOpening:
 
 def _mont_digits_to_u32(coeffs: jnp.ndarray) -> jnp.ndarray:
     """(N, 16) Montgomery digit array -> (N, 8) canonical u32 limbs, on device."""
-    raw = FRD.from_mont(coeffs)
-    lo = raw[..., 0::2]
-    hi = raw[..., 1::2]
-    return lo | (hi << 16)
+    return FRD.to_u32_limbs(coeffs)
 
 
 class KzgScheme:

@@ -33,11 +33,23 @@ class Srs:
     @classmethod
     def new_from_secret(cls, secret: int, circuit_size: int) -> "Srs":
         n = circuit_size + 3
-        powers, cur = [], 1
-        for _ in range(n):
-            powers.append(cur)
-            cur = FR.mul(cur, secret)
-        pts = g1.fixed_base_mul(G1Affine.generator(), powers)
+        if n <= 4096:
+            # latency tier: host power chain
+            powers, cur = [], 1
+            for _ in range(n):
+                powers.append(cur)
+                cur = FR.mul(cur, secret)
+            pts = g1.fixed_base_mul(G1Affine.generator(), powers)
+        else:
+            # device path: log-depth cumprod of tau powers, packed to u32
+            # limbs on device (replaces the reference's sequential per-point
+            # loop, kzg/src/srs.rs:48-63, with zero host bignum work)
+            from ..fields.fp import device_field
+
+            frd = device_field(FR)
+            powers_mont = frd.powers(secret, n)
+            sc = frd.to_u32_limbs(powers_mont)
+            pts = g1.fixed_base_mul_u32(G1Affine.generator(), sc)
         g2 = G2Affine.generator()
         g2s = g2.mul(secret)
         return cls(pts, g2, g2s, n, secret)

@@ -15,15 +15,18 @@ blinding scalars the proofs agree point-for-point.
 from __future__ import annotations
 
 import secrets
+import time
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fields.host import FR
 from ..fields.fp import device_field
 from ..kzg.scheme import KzgCommitment, KzgScheme
 from ..poly.domain import get_domain
-from ..poly.poly import Poly, poly_from_evals
+from ..poly.poly import Poly, evaluate_many, poly_from_evals
 from ..transcript.ark_rand import fp_rand
 from ..transcript.chacha import StdRng
 from ..transcript.transcripts import PlonkChallengeGenerator
@@ -58,9 +61,13 @@ def generate_proof(
     compiled_circuit: CompiledCircuit,
     srs,
     rng: StdRng | None = None,
+    timings: dict | None = None,
 ) -> Proof:
     """rng: source for the 9 blinding scalars (reference: StdRng::from_entropy,
-    prover.rs:68); inject a seeded StdRng for deterministic proofs."""
+    prover.rs:68); inject a seeded StdRng for deterministic proofs.
+
+    timings: optional dict filled with per-round wall seconds
+    ({"round1": ..., ..., "round5": ...}) for observability (SURVEY §5)."""
     if rng is None:
         rng = StdRng(secrets.token_bytes(32))
     scheme = KzgScheme(srs)
@@ -68,96 +75,118 @@ def generate_proof(
     dom = get_domain(FR, n)
     gc = compiled_circuit.gate_constraints
     cc = compiled_circuit.copy_constraints
+    t_round = time.time()
+
+    def _mark(name: str):
+        nonlocal t_round
+        if timings is not None:
+            now = time.time()
+            timings[name] = now - t_round
+            t_round = now
 
     # ---- Round 1 (prover.rs:64-92) ----
-    b = [fp_rand(FR, rng) for _ in range(6)]
-    pre1 = Poly.from_ints(FR, [b[1], b[0]])
-    pre2 = Poly.from_ints(FR, [b[3], b[2]])
-    pre3 = Poly.from_ints(FR, [b[5], b[4]])
+    with jax.named_scope("plonk_round1"):
+        b = [fp_rand(FR, rng) for _ in range(6)]
+        pre1 = Poly.from_ints(FR, [b[1], b[0]])
+        pre2 = Poly.from_ints(FR, [b[3], b[2]])
+        pre3 = Poly.from_ints(FR, [b[5], b[4]])
 
-    ax = gc.f_ax + pre1.mul_by_vanishing(n)
-    bx = gc.f_bx + pre2.mul_by_vanishing(n)
-    cx = gc.f_cx + pre3.mul_by_vanishing(n)
+        ax = gc.f_ax + pre1.mul_by_vanishing(n)
+        bx = gc.f_bx + pre2.mul_by_vanishing(n)
+        cx = gc.f_cx + pre3.mul_by_vanishing(n)
 
-    a_commit = scheme.commit(ax)
-    b_commit = scheme.commit(bx)
-    c_commit = scheme.commit(cx)
+        a_commit = scheme.commit(ax)
+        b_commit = scheme.commit(bx)
+        c_commit = scheme.commit(cx)
+    _mark("round1")
 
     # ---- Round 2 (prover.rs:94-127) ----
-    challenge = PlonkChallengeGenerator()
-    challenge.feed(a_commit)
-    challenge.feed(b_commit)
-    challenge.feed(c_commit)
-    beta, gamma = challenge.generate_challenges(2)
+    with jax.named_scope("plonk_round2"):
+        challenge = PlonkChallengeGenerator()
+        challenge.feed(a_commit)
+        challenge.feed(b_commit)
+        challenge.feed(c_commit)
+        beta, gamma = challenge.generate_challenges(2)
 
-    b7, b8, b9 = (fp_rand(FR, rng) for _ in range(3))
-    pre4 = Poly.from_ints(FR, [b9, b8, b7]).mul_by_vanishing(n)
-    w = dom.element(1)
-    pre4w = Poly.from_ints(
-        FR, [b9, FR.mul(b8, w), FR.mul(b7, dom.element(2))]
-    ).mul_by_vanishing(n)
+        b7, b8, b9 = (fp_rand(FR, rng) for _ in range(3))
+        pre4 = Poly.from_ints(FR, [b9, b8, b7]).mul_by_vanishing(n)
+        w = dom.element(1)
+        pre4w = Poly.from_ints(
+            FR, [b9, FR.mul(b8, w), FR.mul(b7, dom.element(2))]
+        ).mul_by_vanishing(n)
 
-    acc_x, acc_wx = compute_acc(beta, gamma, dom, compiled_circuit)
-    z_x = pre4 + acc_x
-    z_wx = pre4w + acc_wx
-    z_commit = scheme.commit(z_x)
+        acc_x, acc_wx = compute_acc(beta, gamma, dom, compiled_circuit)
+        z_x = pre4 + acc_x
+        z_wx = pre4w + acc_wx
+        z_commit = scheme.commit(z_x)
+    _mark("round2")
 
     # ---- Round 3 (prover.rs:129-150) ----
-    challenge.feed(z_commit)
-    (alpha,) = challenge.generate_challenges(1)
-    tx = compute_quotient_polynomial(
-        beta, gamma, alpha, ax, bx, cx, z_x, z_wx, dom, compiled_circuit
-    )
-    slice_poly = SlicePoly(tx)
-    t_lo_commit, t_mid_commit, t_hi_commit = slice_poly.commit(scheme)
+    with jax.named_scope("plonk_round3"):
+        challenge.feed(z_commit)
+        (alpha,) = challenge.generate_challenges(1)
+        tx = compute_quotient_polynomial(
+            beta, gamma, alpha, ax, bx, cx, z_x, z_wx, dom, compiled_circuit
+        )
+        slice_poly = SlicePoly(tx)
+        t_lo_commit, t_mid_commit, t_hi_commit = slice_poly.commit(scheme)
+    _mark("round3")
 
     # ---- Round 4 (prover.rs:152-178) ----
-    challenge.feed(t_lo_commit)
-    challenge.feed(t_mid_commit)
-    challenge.feed(t_hi_commit)
-    (zeta,) = challenge.generate_challenges(1)
+    with jax.named_scope("plonk_round4"):
+        challenge.feed(t_lo_commit)
+        challenge.feed(t_mid_commit)
+        challenge.feed(t_hi_commit)
+        (zeta,) = challenge.generate_challenges(1)
 
-    bar_a = ax.evaluate(zeta)
-    bar_b = bx.evaluate(zeta)
-    bar_c = cx.evaluate(zeta)
-    bar_s_sigma_1 = cc.s_sigma_1.evaluate(zeta)
-    bar_s_sigma_2 = cc.s_sigma_2.evaluate(zeta)
-    bar_z_w = z_x.evaluate(FR.mul(zeta, w))
-    pi_e = gc.pi_x.evaluate(zeta)
-    tx_compact = slice_poly.compact(zeta)
+        # batched: one shared power table for all zeta-point evaluations
+        (
+            bar_a, bar_b, bar_c,
+            bar_s_sigma_1, bar_s_sigma_2, bar_s_sigma_3,
+            pi_e, z_zeta,
+        ) = evaluate_many(
+            [ax, bx, cx, cc.s_sigma_1, cc.s_sigma_2, cc.s_sigma_3, gc.pi_x, z_x],
+            zeta,
+        )
+        bar_z_w = z_x.evaluate(FR.mul(zeta, w))
+        tx_compact = slice_poly.compact(zeta)
+    _mark("round4")
 
     # ---- Round 5 (prover.rs:180-272) ----
-    for val in (bar_a, bar_b, bar_c, bar_s_sigma_1, bar_s_sigma_2, bar_z_w):
-        challenge.feed(scheme.commit_para(val))
-    (v,) = challenge.generate_challenges(1)
+    with jax.named_scope("plonk_round5"):
+        for val in (bar_a, bar_b, bar_c, bar_s_sigma_1, bar_s_sigma_2, bar_z_w):
+            challenge.feed(scheme.commit_para(val))
+        (v,) = challenge.generate_challenges(1)
 
-    r_x = compute_linearisation_polynomial(
-        beta, gamma, alpha, zeta,
-        bar_a, bar_b, bar_c, bar_s_sigma_1, bar_s_sigma_2, bar_z_w,
-        pi_e, tx_compact, z_x, ax, bx, cx, z_wx, dom, compiled_circuit,
-    )
-    bar_r = r_x.evaluate(zeta)
+        r_x = compute_linearisation_polynomial(
+            beta, gamma, alpha, zeta,
+            bar_a, bar_b, bar_c, bar_s_sigma_1, bar_s_sigma_2, bar_z_w,
+            pi_e, tx_compact, z_x, dom, compiled_circuit,
+            bar_s_sigma_3=bar_s_sigma_3, z_zeta=z_zeta,
+        )
+        bar_r = r_x.evaluate(zeta)
 
-    w_ev_x = (
-        _sub_para(r_x, bar_r)
-        + _sub_para(ax, bar_a).scale(v)
-        + _sub_para(bx, bar_b).scale(FR.pow(v, 2))
-        + _sub_para(cx, bar_c).scale(FR.pow(v, 3))
-        + _sub_para(cc.s_sigma_1, bar_s_sigma_1).scale(FR.pow(v, 4))
-        + _sub_para(cc.s_sigma_2, bar_s_sigma_2).scale(FR.pow(v, 5))
-    )
-    w_ev_x, rem = w_ev_x.divide_by_linear(zeta)
-    assert rem == 0, "w_ev_x was computed incorrectly"
+        w_ev_x = (
+            _sub_para(r_x, bar_r)
+            + _sub_para(ax, bar_a).scale(v)
+            + _sub_para(bx, bar_b).scale(FR.pow(v, 2))
+            + _sub_para(cx, bar_c).scale(FR.pow(v, 3))
+            + _sub_para(cc.s_sigma_1, bar_s_sigma_1).scale(FR.pow(v, 4))
+            + _sub_para(cc.s_sigma_2, bar_s_sigma_2).scale(FR.pow(v, 5))
+        )
+        w_ev_x, rem = w_ev_x.divide_by_linear(zeta)
+        assert rem == 0, "w_ev_x was computed incorrectly"
 
-    w_ev_wx = _sub_para(z_x, bar_z_w)
-    w_ev_wx, rem = w_ev_wx.divide_by_linear(FR.mul(zeta, w))
-    assert rem == 0, "w_ev_wx was computed incorrectly"
+        w_ev_wx = _sub_para(z_x, bar_z_w)
+        w_ev_wx, rem = w_ev_wx.divide_by_linear(FR.mul(zeta, w))
+        assert rem == 0, "w_ev_wx was computed incorrectly"
 
-    w_ev_x_commit = scheme.commit(w_ev_x)
-    w_ev_wx_commit = scheme.commit(w_ev_wx)
-    challenge.feed(w_ev_x_commit)
-    challenge.feed(w_ev_wx_commit)
-    (u,) = challenge.generate_challenges(1)
+        w_ev_x_commit = scheme.commit(w_ev_x)
+        w_ev_wx_commit = scheme.commit(w_ev_wx)
+        challenge.feed(w_ev_x_commit)
+        challenge.feed(w_ev_wx_commit)
+        (u,) = challenge.generate_challenges(1)
+    _mark("round5")
 
     return Proof(
         a_commit, b_commit, c_commit, z_commit,
@@ -238,8 +267,24 @@ def _div_vanishing_exact(poly: Poly, n: int) -> Poly:
 
 
 def compute_quotient_polynomial(
-    beta, gamma, alpha, ax: Poly, bx: Poly, cx: Poly, z_x: Poly, z_wx: Poly, dom, compiled_circuit
+    beta, gamma, alpha, ax: Poly, bx: Poly, cx: Poly, z_x: Poly, z_wx: Poly, dom, compiled_circuit,
+    force: str | None = None,
 ) -> Poly:
+    """t(X) = [line1 + line2 - line3 + line4] / Z_H (prover.rs:381-444).
+
+    Small circuits use coefficient-space products (host latency tier); large
+    circuits evaluate each part on a coset and divide pointwise — identical
+    coefficients, one batched FFT pass instead of ~12 chained transforms.
+    Both raise AssertionError("has remainder") on a bad witness, preserving
+    the reference's expect("No remainder") panics.
+
+    force: "coset" | "coeff" | None — test hook to pin the implementation.
+    """
+    use_coset = compiled_circuit.size >= 64 if force is None else force == "coset"
+    if use_coset:
+        return _quotient_coset(
+            beta, gamma, alpha, ax, bx, cx, z_x, z_wx, dom, compiled_circuit
+        )
     cc = compiled_circuit.copy_constraints
     gc = compiled_circuit.gate_constraints
     n = compiled_circuit.size
@@ -275,18 +320,139 @@ def compute_quotient_polynomial(
     return quotient1 + quotient23 + quotient4
 
 
+def _batched_coset_fft(dom_big, polys: list[Poly], offset: int) -> jnp.ndarray:
+    """Stack polynomials and evaluate all on offset*<w> in ONE transform."""
+    m = dom_big.size
+    stacked = jnp.stack([p._padded(m) for p in polys], axis=0)  # (K, m, D)
+    scaled = FRD.mont_mul(stacked, dom_big._offset_powers(offset))
+    return dom_big.fft(scaled, force_device=True)
+
+
+def _coset_divide_zh(dom_big, evals: jnp.ndarray, offset: int, n: int, max_deg: int) -> Poly:
+    """evals of a numerator on offset*<w_m> -> numerator / (X^n - 1).
+
+    Z_H(offset * w_m^i) = offset^n * w_k^(i mod k) - 1 with k = m/n takes only
+    k distinct values (inverted on host).  Exactness proof: the coset iFFT
+    yields the unique T of deg < m with T*Z_H = num on all m points; if
+    coeffs(T) vanish above max_deg then deg(T*Z_H) <= max_deg + n <= m - 1,
+    so T*Z_H = num identically and the division was remainder-free.  A
+    nonzero tail therefore reproduces the reference's expect("No remainder")
+    panic (plonk/src/prover.rs:398-443) for any bad witness.
+    """
+    m = dom_big.size
+    k = m // n
+    off_n = FR.pow(offset, n)
+    w_k = FR.pow(dom_big.group_gen, n)  # order-k root
+    zh_vals, cur = [], off_n
+    for _ in range(k):
+        zh_vals.append(FR.sub(cur, 1))
+        cur = FR.mul(cur, w_k)
+    assert all(v != 0 for v in zh_vals), "coset offset hits the domain"
+    zh_inv = FRD.encode_ints([FR.inv(v) for v in zh_vals])  # (k, D)
+    tiled = jnp.tile(zh_inv, (m // k, 1))
+    t_evals = FRD.mont_mul(evals, tiled)
+    coeffs = dom_big.coset_ifft(t_evals, offset)
+    tail = coeffs[max_deg + 1 :]
+    if bool(np.asarray(jax.device_get(jnp.any(tail != 0)))):
+        raise AssertionError("has remainder")  # reference expect("No remainder")
+    return Poly(FR, coeffs[: max_deg + 1])
+
+
+def _quotient_coset(
+    beta, gamma, alpha, ax: Poly, bx: Poly, cx: Poly, z_x: Poly, z_wx: Poly, dom, compiled_circuit
+) -> Poly:
+    """Coset-evaluation quotient: three parts on the smallest sufficient
+    domains (4n for the gate part and L1 part, 8n for the permutation part
+    whose numerator has degree 4n+5)."""
+    cc = compiled_circuit.copy_constraints
+    gc = compiled_circuit.gate_constraints
+    n = compiled_circuit.size
+    df = FRD
+    off = FR.generator
+
+    beta_d = df.encode_int(beta)
+    gamma_d = df.encode_int(gamma)
+    alpha_d = df.encode_int(alpha)
+
+    # -- part 1: gate constraints, deg(num) <= 3n+1 -> 4n points
+    dom4 = get_domain(FR, 4 * n)
+    A, B, C, QM, QL, QR, QO, QC, PI = _batched_coset_fft(
+        dom4,
+        [ax, bx, cx, gc.q_mx, gc.q_lx, gc.q_rx, gc.q_ox, gc.q_cx, gc.pi_x],
+        off,
+    )
+    line1 = df.add(
+        df.add(
+            df.add(df.mont_mul(df.mont_mul(A, B), QM), df.mont_mul(A, QL)),
+            df.add(df.mont_mul(B, QR), df.mont_mul(C, QO)),
+        ),
+        df.add(PI, QC),
+    )
+    q1 = _coset_divide_zh(dom4, line1, off, n, max_deg=2 * n + 1)
+
+    # -- part 2-3: permutation argument, deg(num) <= 4n+5 -> 8n points
+    dom8 = get_domain(FR, 8 * n)
+    A8, B8, C8, Z8, S1, S2, S3 = _batched_coset_fft(
+        dom8, [ax, bx, cx, z_x, cc.s_sigma_1, cc.s_sigma_2, cc.s_sigma_3], off
+    )
+    # z_wx(X) = z_x(wX) and w = w_{8n}^8, so its coset evals are a rotation
+    Z8w = jnp.roll(Z8, -8, axis=0)
+    X8 = df.mont_mul(dom8.elements_device(), df.encode_int(off))  # coset points
+    bX = df.mont_mul(X8, beta_d)
+    t2 = df.mont_mul(
+        df.mont_mul(
+            df.add(df.add(A8, bX), gamma_d),
+            df.add(df.add(B8, df.mont_mul(bX, df.encode_int(cc.k1))), gamma_d),
+        ),
+        df.mont_mul(
+            df.add(df.add(C8, df.mont_mul(bX, df.encode_int(cc.k2))), gamma_d), Z8
+        ),
+    )
+    t3 = df.mont_mul(
+        df.mont_mul(
+            df.add(df.add(A8, df.mont_mul(S1, beta_d)), gamma_d),
+            df.add(df.add(B8, df.mont_mul(S2, beta_d)), gamma_d),
+        ),
+        df.mont_mul(df.add(df.add(C8, df.mont_mul(S3, beta_d)), gamma_d), Z8w),
+    )
+    line23 = df.mont_mul(df.sub(t2, t3), alpha_d)
+    q23 = _coset_divide_zh(dom8, line23, off, n, max_deg=3 * n + 5)
+
+    # -- part 4: L1 * (z - 1), deg(num) <= 2n+1 -> 4n points
+    Z4, L1_4 = _batched_coset_fft(dom4, [z_x, l1_poly(dom)], off)
+    one_d = jnp.asarray(df.one_np)
+    a2 = df.encode_int(FR.mul(alpha, alpha))
+    line4 = df.mont_mul(df.mont_mul(df.sub(Z4, one_d), L1_4), a2)
+    q4 = _coset_divide_zh(dom4, line4, off, n, max_deg=n + 1)
+
+    return q1 + q23 + q4
+
+
 def l1_poly(dom) -> Poly:
+    """First Lagrange basis polynomial: interpolating e_0 over H gives
+    coefficients identically 1/n (iNTT of e_0 = (1/n) * ones)."""
     n = dom.size
-    e = FRD.encode_ints([1] + [0] * (n - 1))
-    return poly_from_evals(dom, e)
+    inv_n = FR.inv(n % FR.modulus)
+    coeffs = jnp.broadcast_to(FRD.encode_int(inv_n), (n, FRD.num_digits))
+    return Poly(FR, coeffs, trim=False)
 
 
 def compute_linearisation_polynomial(
     beta, gamma, alpha, zeta,
     bar_a, bar_b, bar_c, bar_s_sigma_1, bar_s_sigma_2, bar_z_w,
-    pi_e, tx_compact: Poly, z_x: Poly, ax: Poly, bx: Poly, cx: Poly, z_wx: Poly,
+    pi_e, tx_compact: Poly, z_x: Poly,
     dom, compiled_circuit: CompiledCircuit,
+    *, bar_s_sigma_3: int, z_zeta: int,
 ) -> Poly:
+    """r(X) per plonk/src/prover.rs:469-568.
+
+    The reference's internal sanity asserts (prover.rs:514-553) compare the
+    linearised line2/line3 against re-evaluations of the full permutation
+    products at zeta; here all evaluations at zeta come from the batched
+    round-4 pass (bar_* / bar_s_sigma_3 / z_zeta = z_x(zeta)), and the same
+    structural identity is asserted on scalars.  Note ev(z_wx)(zeta) =
+    z_x(omega*zeta) = bar_z_w.
+    """
     cc = compiled_circuit.copy_constraints
     gc = compiled_circuit.gate_constraints
 
@@ -318,37 +484,44 @@ def compute_linearisation_polynomial(
     tmp2 = cc.s_sigma_3.scale(beta) + Poly.constant(FR, FR.add(bar_c, gamma))
     line3 = tmp2.scale(l3s)
 
-    # reference sanity check (prover.rs:514-553), done on evaluations (the
-    # polynomial products there are only ever evaluated at zeta)
-    ev = lambda p: p.evaluate(zeta)
+    # reference sanity check (prover.rs:514-553) on scalars
     line22 = FR.mul(
         FR.mul(
             FR.mul(
-                FR.add(ev(ax), FR.add(gamma, FR.mul(beta, zeta))),
-                FR.add(ev(bx), FR.add(gamma, FR.mul(FR.mul(beta, cc.k1), zeta))),
+                FR.add(bar_a, FR.add(gamma, FR.mul(beta, zeta))),
+                FR.add(bar_b, FR.add(gamma, FR.mul(FR.mul(beta, cc.k1), zeta))),
             ),
-            FR.add(ev(cx), FR.add(gamma, FR.mul(FR.mul(beta, cc.k2), zeta))),
+            FR.add(bar_c, FR.add(gamma, FR.mul(FR.mul(beta, cc.k2), zeta))),
         ),
-        FR.mul(alpha, ev(z_x)),
+        FR.mul(alpha, z_zeta),
     )
     line32 = FR.mul(
         FR.mul(
             FR.mul(
-                FR.add(ev(ax), FR.add(FR.mul(ev(cc.s_sigma_1), beta), gamma)),
-                FR.add(ev(bx), FR.add(FR.mul(ev(cc.s_sigma_2), beta), gamma)),
+                FR.add(bar_a, FR.add(FR.mul(bar_s_sigma_1, beta), gamma)),
+                FR.add(bar_b, FR.add(FR.mul(bar_s_sigma_2, beta), gamma)),
             ),
-            FR.add(ev(cx), FR.add(FR.mul(ev(cc.s_sigma_3), beta), gamma)),
+            FR.add(bar_c, FR.add(FR.mul(bar_s_sigma_3, beta), gamma)),
         ),
-        FR.mul(alpha, ev(z_wx)),
+        FR.mul(alpha, bar_z_w),
     )
     diff2 = FR.sub(line32, line22)
-    cur = FR.sub(ev(line3), ev(line2))
+    ev_line3 = FR.mul(l3s, FR.add(FR.mul(beta, bar_s_sigma_3), FR.add(bar_c, gamma)))
+    ev_line2 = FR.mul(l2s, z_zeta)
+    cur = FR.sub(ev_line3, ev_line2)
     assert diff2 == cur, "Wrong: line2 or line3 of round 5"
 
-    l1_e = l1_poly(dom).evaluate(zeta)
+    # L1(zeta) closed form (same value the interpolated poly evaluates to):
+    # (zeta^n - 1) / (n (zeta - 1)); zeta = 1 cannot occur for an accepted
+    # transcript challenge except with negligible probability — fall back to
+    # the polynomial evaluation in that case.
+    z_h_e = dom.evaluate_vanishing(zeta)
+    if zeta != 1:
+        l1_e = FR.mul(z_h_e, FR.inv(FR.mul(dom.size % FR.modulus, FR.sub(zeta, 1))))
+    else:  # pragma: no cover
+        l1_e = l1_poly(dom).evaluate(zeta)
     line4 = (z_x - Poly.constant(FR, 1)).scale(FR.mul(l1_e, FR.mul(alpha, alpha)))
 
-    z_h_e = dom.evaluate_vanishing(zeta)
     line5 = tx_compact.scale(z_h_e)
 
     return line1 + line2 - line3 + line4 - line5

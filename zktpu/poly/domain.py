@@ -25,6 +25,11 @@ from ..fields.host import FieldSpec
 from ..fields.fp import DeviceField, device_field, ints_to_digits
 
 
+# Below this size, power tables are built with host bignum loops (cheap) to
+# avoid device compiles for tiny domains; above it, log-depth device cumprods.
+_HOST_TWIDDLE_MAX = 1 << 12
+
+
 def _bit_reverse_perm(n: int) -> np.ndarray:
     log_n = n.bit_length() - 1
     idx = np.arange(n, dtype=np.uint32)
@@ -68,28 +73,37 @@ class Radix2Domain:
 
     def elements_device(self) -> jnp.ndarray:
         """ω^i for i < n as a Montgomery digit array (computed via scan)."""
-        g = self.df.encode_int(self.group_gen)
-        arr = jnp.broadcast_to(g, (self.size, self.df.num_digits))
-        arr = jnp.concatenate([jnp.asarray(self.df.one_np)[None], arr[:-1]], axis=0)
-        return self.df.cumprod(arr, axis=0)
+        if getattr(self, "_elements_cache", None) is None:
+            self._elements_cache = self.df.powers(self.group_gen, self.size)
+        return self._elements_cache
 
     def evaluate_vanishing(self, z: int) -> int:
         return (self.spec.pow(z, self.size) - 1) % self.spec.modulus
 
     def _twiddle_stack(self, gen: int):
-        """Per-stage twiddle tables for the iterative DIT butterfly."""
+        """Per-stage twiddle tables for the iterative DIT butterfly.
+
+        Stage s needs [w_m^j for j < m/2] with w_m = gen^(n/m); every entry
+        is a strided slice of E = [gen^j for j < n/2], so one table covers
+        all stages.  Small domains build E with a host loop (latency tier);
+        large domains use one log-depth device cumprod instead of O(n) host
+        bignum multiplications.
+        """
         spec = self.spec
+        half = max(self.size // 2, 1)
+        if self.size <= _HOST_TWIDDLE_MAX:
+            cur, vals = 1, []
+            for _ in range(half):
+                vals.append(spec.to_mont(cur))
+                cur = spec.mul(cur, gen)
+            E = np.asarray(ints_to_digits(vals, spec.num_digits), dtype=np.uint32)
+        else:
+            E = self.df.powers(gen, half)
         tables = []
         for s in range(1, self.log_n + 1):
             m = 1 << s
-            w = spec.pow(gen, self.size // m)
-            cur, vals = 1, []
-            for _ in range(m // 2):
-                vals.append(spec.to_mont(cur))
-                cur = spec.mul(cur, w)
-            tables.append(
-                np.asarray(ints_to_digits(vals, spec.num_digits), dtype=np.uint32)
-            )
+            stride = self.size // m
+            tables.append(E[::stride][: m // 2])
         return tables
 
     # -- device transforms --
@@ -178,11 +192,13 @@ class Radix2Domain:
     @functools.lru_cache(maxsize=8)
     def _offset_powers(self, offset: int) -> jnp.ndarray:
         spec = self.spec
-        vals, cur = [], 1
-        for _ in range(self.size):
-            vals.append(spec.to_mont(cur))
-            cur = spec.mul(cur, offset)
-        return jnp.asarray(ints_to_digits(vals, spec.num_digits))
+        if self.size <= _HOST_TWIDDLE_MAX:
+            vals, cur = [], 1
+            for _ in range(self.size):
+                vals.append(spec.to_mont(cur))
+                cur = spec.mul(cur, offset)
+            return jnp.asarray(ints_to_digits(vals, spec.num_digits))
+        return self.df.powers(offset, self.size)
 
     def coset_fft(self, coeffs: jnp.ndarray, offset: int) -> jnp.ndarray:
         coeffs = self._pad(coeffs)

@@ -196,10 +196,7 @@ class Poly:
             return Poly.from_ints(self.spec, q), rem
         spec, df = self.spec, self.df
         # q_i = sum_{j>i} c_j z^{j-i-1} = z^{-(i+1)} * S_i, S_i = sum_{j>i} c_j z^j
-        zpows = [1]
-        for _ in range(L - 1):
-            zpows.append(spec.mul(zpows[-1], z))
-        zp = jnp.asarray(ints_to_digits([spec.to_mont(v) for v in zpows], df.num_digits))
+        zp = df.powers(z, L)
         cz = df.mont_mul(self.coeffs, zp)  # c_j z^j
         # reverse exclusive cumulative sum (inclusive scan, shifted)
         incl = df.cumsum(cz, axis=0, reverse=True)
@@ -207,12 +204,8 @@ class Poly:
             [incl[1:], jnp.zeros((1, df.num_digits), dtype=jnp.uint32)], axis=0
         )
         zinv = spec.inv(z)
-        zinv_pows = [zinv]
-        for _ in range(L - 1):
-            zinv_pows.append(spec.mul(zinv_pows[-1], zinv))
-        zip_ = jnp.asarray(
-            ints_to_digits([spec.to_mont(v) for v in zinv_pows], df.num_digits)
-        )
+        # zinv^{i+1} = powers(zinv)[i] * zinv
+        zip_ = df.mont_mul(df.powers(zinv, L), df.encode_int(zinv))
         q = df.mont_mul(S, zip_)[: L - 1]
         rem = spec.mul(df.decode_int(incl[0]), 1)  # p(z) = S_{-1} = sum c_j z^j
         return Poly(self.spec, q), rem
@@ -227,12 +220,8 @@ class Poly:
             for c in reversed(self.to_ints()):
                 acc = (acc * z + c) % self.spec.modulus
             return acc
-        spec, df = self.spec, self.df
-        g = df.encode_int(z)
-        arr = jnp.broadcast_to(g, (L, df.num_digits))
-        arr = jnp.concatenate([jnp.asarray(df.one_np)[None], arr[:-1]], axis=0)
-        zpow = df.cumprod(arr, axis=0)
-        terms = df.mont_mul(self.coeffs, zpow)
+        df = self.df
+        terms = df.mont_mul(self.coeffs, df.powers(z, L))
         return df.decode_int(df.sum(terms, axis=0))
 
     def __repr__(self) -> str:
@@ -242,3 +231,27 @@ class Poly:
 def poly_from_evals(dom: Radix2Domain, evals: jnp.ndarray) -> Poly:
     """arkworks Evaluations::from_vec_and_domain(...).interpolate()."""
     return Poly(dom.spec, dom.ifft(evals))
+
+
+def evaluate_many(polys: list[Poly], z: int) -> list[int]:
+    """[p(z) for p in polys] with ONE shared power table and one device pass.
+
+    The PLONK rounds 4-5 evaluate ~10 full-size polynomials at zeta
+    (plonk/src/prover.rs:156-178, 469-568); evaluating them one-by-one
+    rebuilds the z-power table per call.  Batch: one cumprod, one stacked
+    multiply, one tree-sum, one host decode.
+    """
+    if not polys:
+        return []
+    spec = polys[0].spec
+    df = polys[0].df
+    L = max(len(p) for p in polys)
+    if L == 0:
+        return [0] * len(polys)
+    if L <= 256:  # latency tier: host Horner
+        return [p.evaluate(z) for p in polys]
+    zpow = df.powers(z, L)
+    stacked = jnp.stack([p._padded(L) for p in polys], axis=0)  # (K, L, D)
+    terms = df.mont_mul(stacked, zpow)
+    sums = df.sum(terms, axis=1)  # (K, D)
+    return df.decode_ints(sums)
