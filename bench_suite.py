@@ -93,6 +93,11 @@ def bench_plonk(log_n: int = 14) -> None:
     srs = Srs.new_from_secret(0x5EED, circuit.size)
     srs_s = time.time() - t0
 
+    # cold run includes XLA compiles (one per kernel/size bucket, persisted
+    # to the on-disk cache); the warm run is the steady-state prove time
+    t0 = time.time()
+    generate_proof(circuit, srs, StdRng.from_seed_u64(7))
+    cold_s = time.time() - t0
     timings: dict = {}
     t0 = time.time()
     proof = generate_proof(circuit, srs, StdRng.from_seed_u64(7), timings=timings)
@@ -105,8 +110,8 @@ def bench_plonk(log_n: int = 14) -> None:
         f"plonk_prove_s_2e{log_n}_gates",
         prove_s,
         "s",
-        f"compile_circuit={compile_circuit_s:.1f}s srs={srs_s:.1f}s "
-        f"verify={verify_s:.1f}s | {rounds}",
+        f"cold={cold_s:.1f}s compile_circuit={compile_circuit_s:.1f}s "
+        f"srs={srs_s:.1f}s verify={verify_s:.1f}s | {rounds}",
     )
 
 
@@ -123,6 +128,9 @@ def bench_fri(log_domain: int = 12, queries: int = 32) -> None:
     coeffs = [int(v) for v in rng.integers(0, GOLDILOCKS.modulus, size=1 << (log_domain - 1), dtype=np.uint64)]
     poly = Poly.from_ints(GOLDILOCKS, coeffs)
     t0 = time.time()
+    generate_proof(poly, blowup_factor=2, number_of_queries=queries)
+    cold_s = time.time() - t0
+    t0 = time.time()
     proof = generate_proof(poly, blowup_factor=2, number_of_queries=queries)
     prove_s = time.time() - t0
     t0 = time.time()
@@ -132,7 +140,7 @@ def bench_fri(log_domain: int = 12, queries: int = 32) -> None:
         f"fri_prove_s_2e{log_domain}_domain",
         prove_s,
         "s",
-        f"queries={queries} verify={verify_s:.2f}s",
+        f"cold={cold_s:.1f}s queries={queries} verify={verify_s:.2f}s",
     )
 
 
@@ -226,12 +234,19 @@ def bench_kzg(log_deg: int = 10) -> None:
     scheme = KzgScheme(srs)
     poly = Poly.from_ints(FR, coeffs)
     z = 0x123456789
+
+    def run():
+        commitment = scheme.commit(poly)
+        opening = scheme.open(poly, z)
+        assert scheme.verify(commitment, opening, z)
+
     t0 = time.time()
-    commitment = scheme.commit(poly)
-    opening = scheme.open(poly, z)
-    assert scheme.verify(commitment, opening, z)
+    run()
+    cold_s = time.time() - t0
+    t0 = time.time()
+    run()
     total = time.time() - t0
-    _emit(f"kzg_commit_open_verify_s_2e{log_deg}", total, "s")
+    _emit(f"kzg_commit_open_verify_s_2e{log_deg}", total, "s", f"cold={cold_s:.1f}s")
 
 
 def main() -> None:

@@ -43,14 +43,45 @@ def test_sharded_msm_matches_single_chip(mesh):
     )
 
 
-@pytest.mark.parametrize("n", [64, 256])
+@pytest.mark.parametrize("n", [64, 256, 4096])
 def test_four_step_ntt_matches_single_chip(mesh, n):
     dom = get_domain(FR, n)
     vals = [secrets.randbelow(FR.modulus) for _ in range(n)]
     coeffs = FRD.encode_ints(vals)
-    want = dom.fft(coeffs)
+    want = dom.fft(coeffs, force_device=True)
     fs = get_four_step(FR, n, mesh)
     got = fs.fft(coeffs)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
     back = fs.ifft(got)
     np.testing.assert_array_equal(np.asarray(coeffs), np.asarray(back))
+
+
+def test_dist_fri_layer_matches_single_chip(mesh):
+    """Sharded coset evaluation + mesh-sharded Merkle vs FriLayer.from_poly
+    at a 2^12 Goldilocks domain (SURVEY §2.C rows 4-5)."""
+    from zktpu.fields.host import GOLDILOCKS
+    from zktpu.fri.layer import FriLayer
+    from zktpu.poly.poly import Poly
+    from zktpu.dist.fri import dist_fri_layer
+
+    rng = np.random.default_rng(11)
+    deg = 1 << 11
+    coeffs = [int(v) for v in rng.integers(0, GOLDILOCKS.modulus, size=deg, dtype=np.uint64)]
+    poly = Poly.from_ints(GOLDILOCKS, coeffs)
+    domain_size = 1 << 12
+    coset = GOLDILOCKS.generator
+
+    single = FriLayer.from_poly(poly, coset, domain_size)
+    dist = dist_fri_layer(poly, coset, domain_size, mesh)
+
+    np.testing.assert_array_equal(single.evaluations, dist.evaluations)
+    assert single.merkle_tree.root() == dist.merkle_tree.root()
+    for level_s, level_d in zip(
+        single.merkle_tree.internal_nodes, dist.merkle_tree.internal_nodes
+    ):
+        assert level_s == level_d
+    for idx in (0, 5, domain_size - 1):
+        ps, pd = single.merkle_tree.generate_proof(idx), dist.merkle_tree.generate_proof(idx)
+        assert (ps.index, ps.leaf_val, ps.hash_proof, ps.root) == (
+            pd.index, pd.leaf_val, pd.hash_proof, pd.root
+        )

@@ -10,3 +10,4 @@ transcript state as the only serialization point between protocol rounds.
 from .mesh import make_mesh, local_mesh
 from .msm import msm_jacobian_sharded
 from .ntt import FourStepNTT, get_four_step
+from .fri import dist_coset_evals, dist_fri_layer, dist_merkle_tree

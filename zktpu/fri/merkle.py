@@ -53,6 +53,20 @@ class MerkleTree:
             self.internal_nodes.append(nxt)
         self.leaves = evaluations + [0] * (new_len - len(evaluations))
 
+    @classmethod
+    def from_levels(cls, evaluations, internal_nodes, spec: FieldSpec = GOLDILOCKS) -> "MerkleTree":
+        """Assemble a tree whose level hashes were computed externally (e.g.
+        the mesh-sharded hasher, zktpu/dist/fri.py); same layout as __init__."""
+        obj = cls.__new__(cls)
+        obj.spec = spec
+        evaluations = [int(v) for v in evaluations]
+        new_len = 1 << (len(evaluations) - 1).bit_length() if len(evaluations) > 1 else 1
+        obj.depth = new_len.bit_length() - 1
+        assert len(internal_nodes) == obj.depth + 1, (len(internal_nodes), obj.depth)
+        obj.internal_nodes = internal_nodes
+        obj.leaves = evaluations + [0] * (new_len - len(evaluations))
+        return obj
+
     # -- device-vectorized bulk hashing (large trees) --
 
     def _hash_leaves_vec(self, evaluations):

@@ -66,7 +66,10 @@ def sha256_single_block(words: jnp.ndarray) -> jnp.ndarray:
         w.append(w[t - 16] + s0 + w[t - 7] + s1)
     W = jnp.stack(w, axis=0)  # (64, N)
     K = jnp.asarray(_K)  # (64,)
-    state0 = tuple(jnp.broadcast_to(jnp.uint32(int(v)), (n,)) for v in _H0)
+    # derive the initial state from the input so the fori_loop carry keeps
+    # the input's varying-axes type under shard_map (zktpu/dist/fri.py)
+    zero = jnp.zeros_like(words[:, 0])
+    state0 = tuple(jnp.uint32(int(v)) + zero for v in _H0)
 
     def round_body(t, st):
         a, b, c, d, e, f, g, h = st
@@ -147,7 +150,10 @@ _CHUNK = 4096
 def _fold_constants(spec: FieldSpec):
     df = device_field(spec)
     consts = [spec.to_mont(pow(2, 32 * i, spec.modulus)) for i in range(8)]
-    return df, jnp.asarray(ints_to_digits(consts, df.num_digits))
+    # keep as numpy: a jnp array materialized during a traced first call
+    # would leak that trace's tracer into the lru cache (multiple distinct
+    # jits call this — the single-chip hasher and the shard_map'd one)
+    return df, np.asarray(ints_to_digits(consts, df.num_digits), dtype=np.uint32)
 
 
 def _digest_to_field_traced(spec: FieldSpec, digest: jnp.ndarray) -> jnp.ndarray:

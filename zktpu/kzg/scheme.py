@@ -114,8 +114,7 @@ class KzgScheme:
         return self.commit(Poly.from_ints(FR, coeffs))
 
     def commit_para(self, para: int) -> KzgCommitment:
-        g1_0 = self.srs.g1_points_host()[0]
-        return KzgCommitment(g1_0.mul(para))
+        return KzgCommitment(self.srs.g1_generator_host().mul(para))
 
     def open(self, polynomial: Poly, z: int) -> KzgOpening:
         quotient, evaluation = polynomial.divide_by_linear(z)

@@ -59,6 +59,16 @@ class Srs:
             self._g1_host = g1.proj_to_affine_host(self.g1_proj)
         return self._g1_host
 
+    def g1_generator_host(self) -> G1Affine:
+        """First SRS point ([1]G) without decoding the whole point table."""
+        if self._g1_host is not None:
+            return self._g1_host[0]
+        if getattr(self, "_g1_first", None) is None:
+            self._g1_first = g1.proj_to_affine_host(
+                tuple(a[:1] for a in self.g1_proj)
+            )[0]
+        return self._g1_first
+
     def g2(self) -> G2Affine:
         return self._g2
 
