@@ -98,9 +98,12 @@ def bench_plonk(log_n: int = 14) -> None:
     t0 = time.time()
     generate_proof(circuit, srs, StdRng.from_seed_u64(7))
     cold_s = time.time() - t0
+    from zktpu.profiling import maybe_trace
+
     timings: dict = {}
     t0 = time.time()
-    proof = generate_proof(circuit, srs, StdRng.from_seed_u64(7), timings=timings)
+    with maybe_trace("plonk_prove"):  # ZKTPU_PROFILE=<dir> dumps a Perfetto trace
+        proof = generate_proof(circuit, srs, StdRng.from_seed_u64(7), timings=timings)
     prove_s = time.time() - t0
     t0 = time.time()
     verify(circuit, srs, proof)
@@ -249,10 +252,90 @@ def bench_kzg(log_deg: int = 10) -> None:
     _emit(f"kzg_commit_open_verify_s_2e{log_deg}", total, "s", f"cold={cold_s:.1f}s")
 
 
+def bench_scaling(log_n: int = 14, iters: int = 3) -> None:
+    """Chip-seconds scaling efficiency on the virtual 8-device CPU mesh.
+
+    Methodology stand-in for the >=80%-at-a-pod target (BASELINE.md): run the
+    four-step sharded NTT (the long-axis transform — one all-to-all transpose)
+    on meshes of 1/2/4/8 virtual CPU devices over the same 2^log_n domain and
+    report efficiency(n) = T_1 / (n * T_n).  Virtual devices map to host
+    threads, so this measures exactly the partitioning + collective overhead
+    the real-pod run would pay over ICI (minus the ICI latency itself).
+
+    Requires JAX_PLATFORMS=cpu with xla_force_host_platform_device_count=8;
+    re-execs itself with those set when launched on another backend.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS") != "cpu":
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        subprocess.call(
+            [sys.executable, __file__, "scaling", "--log-n", str(log_n)], env=env
+        )
+        return
+
+    import jax
+    import numpy as np
+
+    from zktpu.dist.mesh import make_mesh
+    from zktpu.dist.ntt import get_four_step
+    from zktpu.fields.host import FR
+    from zktpu.fields.fp import device_field
+
+    n = 1 << log_n
+    frd = device_field(FR)
+    rng = np.random.default_rng(0)
+    vals = frd.to_mont(
+        jax.numpy.asarray(
+            rng.integers(0, 1 << 16, size=(n, frd.num_digits), dtype=np.uint64).astype(
+                np.uint32
+            )
+        )
+    )
+
+    results = {}
+    for ndev in (1, 2, 4, 8):
+        ntt = get_four_step(FR, n, make_mesh(ndev))
+        out = ntt.fft(vals)  # compile
+        np.asarray(jax.device_get(out[:1]))
+        times = []
+        for _ in range(iters):
+            t0 = time.time()
+            out = ntt.fft(vals)
+            np.asarray(jax.device_get(out[:1]))
+            times.append(time.time() - t0)
+        results[ndev] = min(times)
+
+    # Virtual devices beyond the physical core count share cores, so raw
+    # chip-seconds (n * T_n / T_1) conflate oversubscription with collective
+    # overhead; normalize by the parallelism actually available.
+    ncores = os.cpu_count() or 1
+    t1 = results[1]
+    table = " ".join(
+        f"{nd}dev={t * 1e3:.1f}ms(eff={t1 / (min(nd, ncores) * t) * 100:.0f}%)"
+        for nd, t in results.items()
+    )
+    eff8 = t1 / (min(8, ncores) * results[8])
+    _emit(
+        f"ntt_fourstep_scaling_eff_8dev_2e{log_n}",
+        eff8,
+        "fraction",
+        f"virtual-cpu-mesh ncores={ncores} (eff normalized by min(ndev, ncores)) {table}",
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "what", choices=["ntt", "plonk", "fri", "nova", "kzg", "all"], nargs="?", default="all"
+        "what",
+        choices=["ntt", "plonk", "fri", "nova", "kzg", "scaling", "all"],
+        nargs="?",
+        default="all",
     )
     ap.add_argument("--log-n", type=int, default=None)
     args = ap.parse_args()
@@ -263,6 +346,7 @@ def main() -> None:
         "fri": lambda: bench_fri(args.log_n or 12),
         "nova": lambda: bench_nova(),
         "kzg": lambda: bench_kzg(args.log_n or 10),
+        "scaling": lambda: bench_scaling(args.log_n or 14),
     }
     if args.what == "all":
         for name, fn in runners.items():

@@ -174,6 +174,9 @@ def proj_to_affine_host(P) -> list[G1Affine]:
         else:
             zi = pow(z, -1, p)
             out.append(G1Affine(x * zi % p, y * zi % p))
+    from ..profiling import check_on_curve
+
+    check_on_curve(out, "proj_to_affine_host")
     return out
 
 

@@ -55,6 +55,7 @@ def _sharded_sha_fn(spec: FieldSpec, mesh, axis_name: str):
         mesh=mesh,
         in_specs=P(axis_name, None),
         out_specs=P(axis_name, None),
+        check_vma=False,  # pallas kernels inside carry no varying-axes types
     )
     return jax.jit(fn)
 

@@ -39,6 +39,7 @@ def msm_jacobian_sharded(scalars_u32, X, Y, Z, *, mesh, axis_name="shard", c=8):
         mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded),
         out_specs=(sharded, sharded, sharded),
+        check_vma=False,  # pallas kernels inside carry no varying-axes types
     )
     partials = fn(scalars_u32, X, Y, Z)  # (n_dev, D) each
     return proj_tree_sum(partials)

@@ -101,6 +101,7 @@ class FourStepNTT:
             mesh=self.mesh,
             in_specs=(P(ax, None, None), P(None, ax, None)),
             out_specs=P(ax, None),
+            check_vma=False,  # pallas kernels inside carry no varying-axes types
         )
 
         def run(flat):

@@ -411,7 +411,21 @@ class DeviceField:
         """Montgomery digit array -> canonical python ints (host sync)."""
         raw = np.asarray(jax.device_get(arr))
         rinv = pow(self.spec.mont_r, -1, self.spec.modulus)
-        return [(v * rinv) % self.spec.modulus for v in digits_to_ints(raw)]
+        vals = digits_to_ints(raw)
+        from ..profiling import debug_enabled
+
+        if debug_enabled():
+            # sanitizer: device kernels must hand back in-range digits and
+            # fully reduced (< p) Montgomery representatives
+            assert raw.size == 0 or int(raw.max()) < (1 << 16), (
+                f"ZKTPU_DEBUG: digit overflow in decode_ints "
+                f"(max={int(raw.max()):#x}, digits are 16-bit)"
+            )
+            for i, v in enumerate(vals):
+                assert 0 <= v < self.spec.modulus, (
+                    f"ZKTPU_DEBUG: unreduced Montgomery value at [{i}]: {v:#x}"
+                )
+        return [(v * rinv) % self.spec.modulus for v in vals]
 
     def decode_int(self, arr: jnp.ndarray) -> int:
         return self.decode_ints(arr.reshape(1, -1))[0]

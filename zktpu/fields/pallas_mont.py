@@ -229,8 +229,29 @@ class RowOps:
         return jnp.where(cond_row, a, b)
 
 
+def inputs_vma(*arrays) -> frozenset:
+    """Union of the mesh axes the inputs vary over (shard_map varying-axes).
+
+    pallas_call out_shapes must carry the same `vma` as the inputs when traced
+    inside `jax.shard_map` with vma checking on; outside shard_map this is the
+    empty set and the out_shape is built without a vma annotation."""
+    vma: frozenset = frozenset()
+    for a in arrays:
+        try:
+            vma = vma | jax.typeof(a).vma
+        except Exception:
+            pass
+    return vma
+
+
+def _sds(shape, vma: frozenset):
+    if vma:
+        return jax.ShapeDtypeStruct(shape, jnp.uint32, vma=vma)
+    return jax.ShapeDtypeStruct(shape, jnp.uint32)
+
+
 @functools.lru_cache(maxsize=None)
-def _mont_mul_call(spec: FieldSpec, n_tiles: int, interpret: bool):
+def _mont_mul_call(spec: FieldSpec, n_tiles: int, interpret: bool, vma: frozenset = frozenset()):
     D = spec.num_digits
     consts = row_consts(spec)
 
@@ -247,14 +268,17 @@ def _mont_mul_call(spec: FieldSpec, n_tiles: int, interpret: bool):
             pl.BlockSpec((TILE, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, D), jnp.uint32),
+        out_shape=_sds((n_tiles * TILE, D), vma),
         interpret=interpret,
     )
 
     # keep consts as numpy: a jnp array materialized during a traced first
     # call would leak that trace's tracer into the lru_cached closure
     def run(a, b):
-        return call(consts, a, b)
+        c = consts
+        if vma:  # under shard_map all pallas inputs must share the varying axes
+            c = jax.lax.pvary(jnp.asarray(c), tuple(vma))
+        return call(c, a, b)
 
     return run
 
@@ -274,5 +298,5 @@ def mont_mul_pallas(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, interpret: 
     if padded != n:
         a = jnp.pad(a, ((0, padded - n), (0, 0)))
         b = jnp.pad(b, ((0, padded - n), (0, 0)))
-    out = _mont_mul_call(spec, n_tiles, interpret)(a, b)
+    out = _mont_mul_call(spec, n_tiles, interpret, inputs_vma(a, b))(a, b)
     return out[:n].reshape(shape + (D,))
