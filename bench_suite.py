@@ -106,6 +106,9 @@ def bench_plonk(log_n: int = 14) -> None:
         proof = generate_proof(circuit, srs, StdRng.from_seed_u64(7), timings=timings)
     prove_s = time.time() - t0
     t0 = time.time()
+    verify(circuit, srs, proof)  # raises PlonkVerificationError on failure
+    verify_cold_s = time.time() - t0
+    t0 = time.time()
     verify(circuit, srs, proof)
     verify_s = time.time() - t0
     rounds = " ".join(f"{k}={v:.2f}s" for k, v in timings.items())
@@ -114,7 +117,7 @@ def bench_plonk(log_n: int = 14) -> None:
         prove_s,
         "s",
         f"cold={cold_s:.1f}s compile_circuit={compile_circuit_s:.1f}s "
-        f"srs={srs_s:.1f}s verify={verify_s:.1f}s | {rounds}",
+        f"srs={srs_s:.1f}s verify={verify_s:.1f}s (cold {verify_cold_s:.1f}s) | {rounds}",
     )
 
 
