@@ -85,3 +85,33 @@ def test_dist_fri_layer_matches_single_chip(mesh):
         assert (ps.index, ps.leaf_val, ps.hash_proof, ps.root) == (
             pd.index, pd.leaf_val, pd.hash_proof, pd.root
         )
+
+
+def test_sharded_wire_commits_match_single_chip(mesh):
+    """dist/plonk.ShardedWireCommitter (four-step iNTT -> sharded MSM in one
+    jitted step) equals interpolate-then-commit on a single chip at 2^8."""
+    from zktpu.dist.plonk import ShardedWireCommitter
+    from zktpu.kzg.scheme import _mont_digits_to_u32
+
+    n = 1 << 8
+    dom = get_domain(FR, n)
+    rng = np.random.default_rng(23)
+    evals3 = jax.numpy.stack(
+        [
+            FRD.encode_ints([int(v) for v in rng.integers(0, 1 << 62, size=n)])
+            for _ in range(3)
+        ]
+    )
+    base = G1Affine.generator()
+    X, Y, Z = g1.fixed_base_mul(base, list(range(2, n + 2)))
+
+    committer = ShardedWireCommitter(FR, n, mesh, c=4)
+    got = committer(evals3, X, Y, Z)
+
+    for i in range(3):
+        coeffs = dom.ifft(evals3[i])
+        sc = _mont_digits_to_u32(coeffs)
+        want = msm_proj(sc, X, Y, Z, c=4)
+        assert g1.proj_to_affine_host(tuple(a[None] for a in want)) == g1.proj_to_affine_host(
+            tuple(a[None] for a in got[i])
+        )

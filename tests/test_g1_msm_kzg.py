@@ -128,3 +128,23 @@ def test_kzg_batch_verify(scheme10):
 def test_kzg_commit_empty(scheme10):
     # commit on empty poly -> identity (scheme.rs:94 unwrap_or zero)
     assert scheme10.commit(Poly.zero(host.FR)).point.infinity
+
+
+def test_commit_many_matches_individual_commits():
+    """KzgScheme.commit_many (one vmapped Pippenger over K polys) equals
+    per-poly commits, including mixed lengths and the pow2 pad."""
+    import numpy as np
+
+    from zktpu.kzg import KzgScheme, Srs
+    from zktpu.poly.poly import Poly
+
+    rng = np.random.default_rng(5)
+    srs = Srs.new_from_secret(0xABC, 200)
+    scheme = KzgScheme(srs)
+    polys = [
+        Poly.from_ints(host.FR, [int(v) for v in rng.integers(0, 1 << 62, size=L)])
+        for L in (128, 100, 130)
+    ]
+    many = scheme.commit_many(polys)
+    for p, m in zip(polys, many):
+        assert scheme.commit(p).point == m.point

@@ -102,6 +102,17 @@ def msm_proj_impl(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8):
 
 msm_proj = jax.jit(msm_proj_impl, static_argnames=("c",))
 
+# Batched variant: K scalar vectors against ONE shared point set -> K points.
+# The PLONK prover commits 2-3 same-degree polynomials per round against the
+# same SRS (wires, quotient slices, opening witnesses); vmapping the whole
+# Pippenger body runs their window scans as one (K*G)-wide batch, so the
+# sequential suffix-scan depth and the dispatch chain are paid once instead
+# of K times.  Same graph size (vmap adds a batch dim, not instances).
+@functools.partial(jax.jit, static_argnames=("c",))
+def msm_proj_many(scalars_u32_k: jnp.ndarray, X, Y, Z, c: int = 8):
+    """scalars (K, N, 8) x one point set (N, D) -> K projective points ((K, D) x3)."""
+    return jax.vmap(lambda s: msm_proj_impl(s, X, Y, Z, c=c))(scalars_u32_k)
+
 # Backwards-compatible aliases (pre-projective-migration names)
 msm_jacobian_impl = msm_proj_impl
 msm_jacobian = msm_proj

@@ -11,3 +11,4 @@ from .mesh import make_mesh, local_mesh
 from .msm import msm_jacobian_sharded
 from .ntt import FourStepNTT, get_four_step
 from .fri import dist_coset_evals, dist_fri_layer, dist_merkle_tree
+from .plonk import ShardedWireCommitter, get_wire_committer

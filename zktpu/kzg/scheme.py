@@ -110,6 +110,39 @@ class KzgScheme:
         pt = g1mod.proj_to_affine_host(tuple(a[None] for a in R))[0]
         return KzgCommitment(pt)
 
+    def commit_many(self, polys: list[Poly]) -> list[KzgCommitment]:
+        """Commit K same-SRS polynomials via ONE batched MSM.
+
+        The PLONK prover's rounds commit 2-3 polynomials each (wires,
+        quotient slices, opening witnesses; plonk/src/prover.rs:85-91,
+        147-149, 264-270); batching runs their window scans as one
+        (K*G)-wide device batch instead of K sequential MSMs.  Results are
+        identical to [commit(p) for p in polys].
+        """
+        if not polys:
+            return []
+        n = max(p.coeffs.shape[0] for p in polys)
+        if len(polys) == 1 or (n <= HOST_MSM_MAX and self.srs.size <= HOST_MSM_SRS_MAX):
+            return [self.commit(p) for p in polys]
+        assert self.srs.size > n - 1, "polynomial degree exceeds SRS"
+        from ..curves.msm import msm_proj_many, pad_msm_inputs, pick_window
+
+        stacked = jnp.stack(
+            [jnp.pad(p.coeffs, ((0, n - p.coeffs.shape[0]), (0, 0))) for p in polys]
+        )  # (K, n, D)
+        sc = _mont_digits_to_u32(stacked.reshape(-1, stacked.shape[-1]))
+        sc = sc.reshape(len(polys), n, -1)
+        X, Y, Z = self.srs.g1_proj
+        c = pick_window(n)
+        # pad point count to the pow2 bucket (scalar pad rides along per-K)
+        sc0, Xp, Yp, Zp = pad_msm_inputs(sc[0], X[:n], Y[:n], Z[:n])
+        m = Xp.shape[0]
+        if m != n:
+            sc = jnp.pad(sc, ((0, 0), (0, m - n), (0, 0)))
+        R = msm_proj_many(sc, Xp, Yp, Zp, c=c)
+        pts = g1mod.proj_to_affine_host(R)
+        return [KzgCommitment(pt) for pt in pts]
+
     def commit_vector(self, coeffs: list[int]) -> KzgCommitment:
         return self.commit(Poly.from_ints(FR, coeffs))
 

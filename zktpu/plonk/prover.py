@@ -77,9 +77,22 @@ def generate_proof(
     cc = compiled_circuit.copy_constraints
     t_round = time.time()
 
-    def _mark(name: str):
+    def _mark(name: str, block_on=None):
+        """Record wall seconds since the previous mark.
+
+        block_on: optional device arrays (or Polys) to block_until_ready first
+        so async dispatch doesn't smear one phase's device time into the next;
+        phases that end in a host value (commit/evaluate) are already synced.
+        """
         nonlocal t_round
         if timings is not None:
+            if block_on is not None:
+                jax.block_until_ready(
+                    jax.tree.map(
+                        lambda x: x.coeffs if isinstance(x, Poly) else x, block_on,
+                        is_leaf=lambda x: isinstance(x, Poly),
+                    )
+                )
             now = time.time()
             timings[name] = now - t_round
             t_round = now
@@ -94,11 +107,10 @@ def generate_proof(
         ax = gc.f_ax + pre1.mul_by_vanishing(n)
         bx = gc.f_bx + pre2.mul_by_vanishing(n)
         cx = gc.f_cx + pre3.mul_by_vanishing(n)
+        _mark("round1.wires", block_on=(ax, bx, cx))
 
-        a_commit = scheme.commit(ax)
-        b_commit = scheme.commit(bx)
-        c_commit = scheme.commit(cx)
-    _mark("round1")
+        a_commit, b_commit, c_commit = scheme.commit_many([ax, bx, cx])
+    _mark("round1.commits")
 
     # ---- Round 2 (prover.rs:94-127) ----
     with jax.named_scope("plonk_round2"):
@@ -118,8 +130,9 @@ def generate_proof(
         acc_x, acc_wx = compute_acc(beta, gamma, dom, compiled_circuit)
         z_x = pre4 + acc_x
         z_wx = pre4w + acc_wx
+        _mark("round2.grand_product", block_on=(z_x, z_wx))
         z_commit = scheme.commit(z_x)
-    _mark("round2")
+    _mark("round2.commit")
 
     # ---- Round 3 (prover.rs:129-150) ----
     with jax.named_scope("plonk_round3"):
@@ -128,9 +141,10 @@ def generate_proof(
         tx = compute_quotient_polynomial(
             beta, gamma, alpha, ax, bx, cx, z_x, z_wx, dom, compiled_circuit
         )
+        _mark("round3.quotient", block_on=tx)
         slice_poly = SlicePoly(tx)
         t_lo_commit, t_mid_commit, t_hi_commit = slice_poly.commit(scheme)
-    _mark("round3")
+    _mark("round3.commits")
 
     # ---- Round 4 (prover.rs:152-178) ----
     with jax.named_scope("plonk_round4"):
@@ -150,7 +164,7 @@ def generate_proof(
         )
         bar_z_w = z_x.evaluate(FR.mul(zeta, w))
         tx_compact = slice_poly.compact(zeta)
-    _mark("round4")
+    _mark("round4.evals", block_on=tx_compact)
 
     # ---- Round 5 (prover.rs:180-272) ----
     with jax.named_scope("plonk_round5"):
@@ -164,6 +178,7 @@ def generate_proof(
             pi_e, tx_compact, z_x, dom, compiled_circuit,
             bar_s_sigma_3=bar_s_sigma_3, z_zeta=z_zeta,
         )
+        _mark("round5.linearisation", block_on=r_x)
         bar_r = r_x.evaluate(zeta)
 
         w_ev_x = (
@@ -180,13 +195,16 @@ def generate_proof(
         w_ev_wx = _sub_para(z_x, bar_z_w)
         w_ev_wx, rem = w_ev_wx.divide_by_linear(FR.mul(zeta, w))
         assert rem == 0, "w_ev_wx was computed incorrectly"
+        _mark("round5.witness_polys", block_on=(w_ev_x, w_ev_wx))
 
-        w_ev_x_commit = scheme.commit(w_ev_x)
-        w_ev_wx_commit = scheme.commit(w_ev_wx)
+        w_ev_x_commit, w_ev_wx_commit = scheme.commit_many([w_ev_x, w_ev_wx])
         challenge.feed(w_ev_x_commit)
         challenge.feed(w_ev_wx_commit)
         (u,) = challenge.generate_challenges(1)
-    _mark("round5")
+    _mark("round5.commits")
+    if timings is not None:  # per-round totals from the dotted segment marks
+        for rn in ("round1", "round2", "round3", "round4", "round5"):
+            timings[rn] = sum(v for k, v in timings.items() if k.startswith(rn + "."))
 
     return Proof(
         a_commit, b_commit, c_commit, z_commit,

@@ -28,7 +28,7 @@ class SlicePoly:
         return self.degree
 
     def commit(self, scheme):
-        return [scheme.commit(s) for s in self.slices]
+        return scheme.commit_many(self.slices)
 
     def compact(self, point: int) -> Poly:
         acc = Poly.zero(FR)
