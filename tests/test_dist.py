@@ -115,3 +115,38 @@ def test_sharded_wire_commits_match_single_chip(mesh):
         assert g1.proj_to_affine_host(tuple(a[None] for a in want)) == g1.proj_to_affine_host(
             tuple(a[None] for a in got[i])
         )
+
+
+def test_sharded_blinded_wire_commits_match_single_chip(mesh):
+    """commit_blinded == committing (f + (b_hi X + b_lo) Z_H) directly: the
+    sharded MSM plus the 4-term host correction reproduces the reference's
+    blinded round-1 commitments (plonk/src/prover.rs:83-90)."""
+    from zktpu.dist.plonk import ShardedWireCommitter
+    from zktpu.kzg.srs import Srs
+    from zktpu.kzg.scheme import KzgScheme
+    from zktpu.poly.poly import Poly
+
+    n = 1 << 6
+    dom = get_domain(FR, n)
+    rng = np.random.default_rng(31)
+    evals3 = jax.numpy.stack(
+        [
+            FRD.encode_ints([int(v) for v in rng.integers(0, 1 << 62, size=n)])
+            for _ in range(3)
+        ]
+    )
+    srs = Srs.new_from_secret(123456789, n)
+    scheme = KzgScheme(srs)
+    blinds = [
+        (int(rng.integers(1, 1 << 61)), int(rng.integers(1, 1 << 61)))
+        for _ in range(3)
+    ]
+
+    committer = ShardedWireCommitter(FR, n, mesh, c=4)
+    got = committer.commit_blinded(evals3, srs, blinds)
+
+    for i, (b_hi, b_lo) in enumerate(blinds):
+        f = Poly(FR, dom.ifft(evals3[i]))
+        blinded = f + Poly.from_ints(FR, [b_lo, b_hi]).mul_by_vanishing(n)
+        want = scheme.commit(blinded).point
+        assert got[i] == want

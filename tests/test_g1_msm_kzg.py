@@ -148,3 +148,45 @@ def test_commit_many_matches_individual_commits():
     many = scheme.commit_many(polys)
     for p, m in zip(polys, many):
         assert scheme.commit(p).point == m.point
+
+
+def test_proj_madd_matches_full_add():
+    """Mixed add (proj + affine, RCB Alg 8) == full add with lifted operand,
+    covering: generic, P1=identity, A2=identity (0,0), doubling (P1==P2),
+    and P1 = -A2 (result identity)."""
+    from zktpu.curves.g1 import proj_madd, affine_to_proj
+    import jax.numpy as jnp
+
+    rng = random.Random(9)
+    pts1 = [G.mul(rng.randrange(1, 2**20)) for _ in range(3)]
+    pts2 = [G.mul(rng.randrange(1, 2**20)) for _ in range(3)]
+    pts1 += [G1Affine.identity(), pts2[0], pts2[1], -pts2[2]]
+    pts2 += [pts2[0], pts2[0], G1Affine.identity(), pts2[2]]
+    P1 = host_points_to_device(pts1)
+    xa = FQD.encode_ints([0 if p.infinity else p.x for p in pts2])
+    ya = FQD.encode_ints([0 if p.infinity else p.y for p in pts2])
+    got = proj_madd(FQD, P1, (xa, ya))
+    want = [a + b for a, b in zip(pts1, pts2)]
+    assert proj_to_affine_host(got) == want
+
+
+@pytest.mark.parametrize("n,c", [(5, 4), (70, 8), (100, 13)])
+def test_msm_affine_matches_naive(n, c):
+    """msm_affine (mixed-add scan over affine points, zero-padded identity)
+    == naive host MSM, including a zero scalar and pow2 identity padding."""
+    from zktpu.curves.msm import msm_affine, pad_msm_inputs_affine
+    from zktpu.curves.g1 import proj_to_affine_dev, scalars_to_u32
+
+    rng = random.Random(n + 1)
+    scalars = [rng.randrange(host.FR_MODULUS) for _ in range(n)]
+    scalars[0] = 0
+    base_pts = [G.mul(rng.randrange(1, 2**20)) for _ in range(n)]
+    P = host_points_to_device(base_pts)
+    Xa, Ya = proj_to_affine_dev(P)
+    sc, Xp, Yp = pad_msm_inputs_affine(scalars_to_u32(scalars), Xa, Ya)
+    R = msm_affine(sc, Xp, Yp, c=c)
+    got = proj_to_affine_host(tuple(a[None] for a in R))[0]
+    want = G1Affine.identity()
+    for s, pt in zip(scalars, base_pts):
+        want = want + pt.mul(s)
+    assert got == want

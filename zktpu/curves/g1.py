@@ -109,6 +109,51 @@ def _proj_add_jnp(fq: DeviceField, P1, P2):
     return X3, Y3, Z3
 
 
+def proj_madd(fq: DeviceField, P1, A2):
+    """Mixed addition: projective P1 + affine A2 = (X2, Y2) with Z2 = 1.
+
+    RCB Alg. 8 (a = 0): 11M instead of Alg. 7's 12M and ~6 fewer digit
+    adds — phase 1 of the Pippenger suffix scan (zktpu/curves/scan.py)
+    always has an ORIGINAL (affine) point as its second operand, which is
+    ~80% of all MSM point additions.  Complete for every projective P1
+    (including the identity) and every affine P2 on the curve; the affine
+    identity is encoded (0, 0) — off-curve, so unambiguous — and handled
+    by a final select.
+    """
+    from ..config import PALLAS_MIN_BATCH
+
+    if _pallas_batch(*P1, *A2) >= PALLAS_MIN_BATCH:
+        from .pallas_g1 import proj_madd_pallas
+
+        return proj_madd_pallas(fq.spec, P1, A2)
+    return _proj_madd_jnp(fq, P1, A2)
+
+
+def _proj_madd_jnp(fq: DeviceField, P1, A2):
+    X1, Y1, Z1 = P1
+    X2, Y2 = A2
+    mul, add, sub = fq.mont_mul, fq.add, fq.sub
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t3 = sub(mul(add(X1, Y1), add(X2, Y2)), add(t0, t1))  # X1Y2 + X2Y1
+    t4 = add(Y1, mul(Y2, Z1))  # Y1 + Y2Z1
+    t5 = add(X1, mul(X2, Z1))  # X1 + X2Z1
+    t0 = add(fq.double(t0), t0)  # 3 X1X2
+    t2 = _mul12(fq, Z1)  # 3b Z1
+    Zc = add(t1, t2)
+    t1 = sub(t1, t2)
+    t5 = _mul12(fq, t5)
+    X3 = sub(mul(t3, t1), mul(t4, t5))
+    Y3 = add(mul(t1, Zc), mul(t5, t0))
+    Z3 = add(mul(Zc, t4), mul(t0, t3))
+    inf2 = jnp.logical_and(fq.is_zero(X2), fq.is_zero(Y2))
+    return (
+        fq.select(inf2, X1, X3),
+        fq.select(inf2, Y1, Y3),
+        fq.select(inf2, Z1, Z3),
+    )
+
+
 def proj_double(fq: DeviceField, P):
     from ..config import PALLAS_MIN_BATCH
 
@@ -182,6 +227,21 @@ def proj_to_affine_host(P) -> list[G1Affine]:
 
 def proj_points_equal_host(P, Q) -> bool:
     return proj_to_affine_host(P) == proj_to_affine_host(Q)
+
+
+def proj_to_affine_dev(P):
+    """Projective (N, D) triple -> affine (Xa, Ya) digit arrays, on device.
+
+    One Montgomery-trick batch inversion (log-depth device cumprods + a
+    single host inversion of the total) replaces the reference-style
+    per-point host `pow(z, -1, p)` — the one-time SRS affine conversion for
+    the mixed-add MSM (msm.msm_affine).  Every Z must be nonzero (no
+    identity points): SRS power tables satisfy this by construction.
+    """
+    X, Y, Z = P
+    p = FQ.modulus
+    zinv = FQD.batch_inv(Z, host_inv=lambda v: pow(v, -1, p))
+    return FQD.mont_mul(X, zinv), FQD.mont_mul(Y, zinv)
 
 
 # Backwards-compatible aliases (the framework-wide point representation moved

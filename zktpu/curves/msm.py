@@ -33,7 +33,11 @@ from ..fields.host import FQ
 from ..fields.fp import device_field
 from . import g1
 from .g1 import FQD, proj_add, proj_double, proj_identity
-from .scan import point_blocked_sum, point_suffix_scan_sparse
+from .scan import (
+    point_blocked_sum,
+    point_suffix_scan_sparse,
+    point_suffix_scan_sparse_affine,
+)
 
 
 def window_digits(scalars_u32: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -56,11 +60,23 @@ def _window_partial(ids, P, c: int):
     """Bucket-accumulated partial sum for one window's digit vector `ids`.
 
     sum_k k*S_k telescopes over bucket starts s_k (S_k = T[s_k] - T[s_{k+1}],
-    coefficient of T[s_k] is 1 for every k >= 1)."""
+    coefficient of T[s_k] is 1 for every k >= 1).
+
+    P may be a 3-tuple of (N, D) planes or a single concatenated (N, 3D)
+    array; the concatenated form turns the sorted-order reorder into ONE
+    row gather instead of three.  Profiling at 2^20 shows that gather —
+    not the point additions — dominates the MSM wall clock (the TPU pays
+    per gathered row, so 3x fewer row-gathers on 3x wider rows is ~3x
+    cheaper)."""
     order = jnp.argsort(ids)
     ids_s = ids[order].astype(jnp.int32)
-    X, Y, Z = P
-    Ps = (X[order], Y[order], Z[order])
+    if isinstance(P, tuple):
+        X, Y, Z = P
+        Ps = (X[order], Y[order], Z[order])
+    else:
+        D = P.shape[1] // 3
+        g = P[order]
+        Ps = (g[:, :D], g[:, D : 2 * D], g[:, 2 * D :])
     ks = jnp.arange(1, 1 << c, dtype=jnp.int32)
     starts = jnp.searchsorted(ids_s, ks, side="left").astype(jnp.int32)
     # suffix sums evaluated only at the bucket starts (starts == n -> identity)
@@ -78,10 +94,11 @@ def msm_proj_impl(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8):
     """
     digits = window_digits(scalars_u32, c)  # (W, N), LSB window first
     num_windows = digits.shape[0]
+    cat = jnp.concatenate([X, Y, Z], axis=1)  # (N, 3D): one gather per window
 
     # per-window partials via scan: the graph carries ONE window body
     def scan_body(carry, ids):
-        pX, pY, pZ = _window_partial(ids, (X, Y, Z), c)
+        pX, pY, pZ = _window_partial(ids, cat, c)
         return carry, (pX, pY, pZ)
 
     _, partials = jax.lax.scan(scan_body, 0, digits[::-1])  # MSB first
@@ -102,6 +119,73 @@ def msm_proj_impl(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8):
 
 msm_proj = jax.jit(msm_proj_impl, static_argnames=("c",))
 
+
+def _window_partial_affine(ids, cat, c: int):
+    """Affine-point window partial: one (N, 2D) gather + mixed-add scan."""
+    order = jnp.argsort(ids)
+    ids_s = ids[order].astype(jnp.int32)
+    D = cat.shape[1] // 2
+    g = cat[order]
+    A = (g[:, :D], g[:, D:])
+    ks = jnp.arange(1, 1 << c, dtype=jnp.int32)
+    starts = jnp.searchsorted(ids_s, ks, side="left").astype(jnp.int32)
+    gathered = point_suffix_scan_sparse_affine(FQD, A, starts)
+    return point_blocked_sum(FQD, gathered)
+
+
+def msm_affine_impl(scalars_u32: jnp.ndarray, Xa, Ya, c: int = 8):
+    """MSM over an AFFINE point batch (identity = (0, 0)); returns projective.
+
+    Beats msm_proj two ways: the per-window sorted gather moves (N, 2D)
+    instead of (N, 3D) rows, and every phase-1 scan add is an 11M mixed
+    addition (g1.proj_madd) instead of a 12M full projective one.  Zero
+    scalar padding pairs with (0, 0) affine identity padding.
+    """
+    digits = window_digits(scalars_u32, c)
+    num_windows = digits.shape[0]
+    cat = jnp.concatenate([Xa, Ya], axis=1)  # (N, 2D)
+
+    def scan_body(carry, ids):
+        pX, pY, pZ = _window_partial_affine(ids, cat, c)
+        return carry, (pX, pY, pZ)
+
+    _, partials = jax.lax.scan(scan_body, 0, digits[::-1])  # MSB first
+    pX, pY, pZ = partials
+
+    def combine(i, acc):
+        def dbl(_, a):
+            return proj_double(FQD, a)
+
+        acc = jax.lax.fori_loop(0, c, dbl, acc)
+        return proj_add(FQD, acc, (pX[i][None], pY[i][None], pZ[i][None]))
+
+    acc0 = (pX[0][None], pY[0][None], pZ[0][None])
+    out = jax.lax.fori_loop(1, num_windows, combine, acc0)
+    return tuple(a[0] for a in out)
+
+
+msm_affine = jax.jit(msm_affine_impl, static_argnames=("c",))
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def msm_affine_many(scalars_u32_k: jnp.ndarray, Xa, Ya, c: int = 8):
+    """(K, N, 8) scalars x one affine point set -> K projective points."""
+    return jax.vmap(lambda s: msm_affine_impl(s, Xa, Ya, c=c))(scalars_u32_k)
+
+
+def pad_msm_inputs_affine(scalars_u32: jnp.ndarray, Xa, Ya):
+    """Pow2-pad with zero scalars and (0, 0) affine identity points."""
+    n = scalars_u32.shape[0]
+    m = padded_msm_len(n)
+    if m == n:
+        return scalars_u32, Xa, Ya
+    pad = m - n
+    return (
+        jnp.pad(scalars_u32, ((0, pad), (0, 0))),
+        jnp.pad(Xa, ((0, pad), (0, 0))),
+        jnp.pad(Ya, ((0, pad), (0, 0))),
+    )
+
 # Batched variant: K scalar vectors against ONE shared point set -> K points.
 # The PLONK prover commits 2-3 same-degree polynomials per round against the
 # same SRS (wires, quotient slices, opening witnesses); vmapping the whole
@@ -118,13 +202,18 @@ msm_jacobian_impl = msm_proj_impl
 msm_jacobian = msm_proj
 
 
+def padded_msm_len(n: int) -> int:
+    """Compile-bucket length for an N-point MSM: next pow2, floor 16."""
+    return max(16, 1 << (n - 1).bit_length()) if n > 1 else 16
+
+
 def pad_msm_inputs(scalars_u32: jnp.ndarray, X, Y, Z):
     """Pad N to a power of two (>=16) with zero scalars / identity points so
     MSM compiles once per pow2 bucket instead of once per exact length.
     Zero scalars land in bucket 0 of every window, which the weighted sum
     excludes, so padding cannot change the result."""
     n = scalars_u32.shape[0]
-    m = max(16, 1 << (n - 1).bit_length()) if n > 1 else 16
+    m = padded_msm_len(n)
     if m == n:
         return scalars_u32, X, Y, Z
     pad = m - n

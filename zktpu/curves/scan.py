@@ -130,6 +130,74 @@ def point_suffix_scan_sparse(fq: DeviceField, P, idx, K: int = 16):
     return tuple(jnp.where(valid, a, i) for a, i in zip(gathered, ident))
 
 
+def point_suffix_scan_sparse_affine(fq: DeviceField, A, idx, K: int = 16):
+    """Affine-input variant of point_suffix_scan_sparse.
+
+    A = (Xa, Ya) is a batch of AFFINE points ((N, D) Montgomery digit
+    arrays), the identity encoded as (0, 0) — which is also what zero
+    padding produces, so pad rows are handled for free.  Phase 1's
+    sequential in-block adds become MIXED additions (proj carry + affine
+    original point, 11M instead of 12M — g1.proj_madd); phases 2-3 operate
+    on the projective partials exactly as the projective variant.
+    """
+    from .g1 import proj_madd, affine_to_proj, FQD as _FQD
+
+    Xa, Ya = A
+    n = Xa.shape[0]
+    g = -(-n // K)
+    if g * K != n:
+        pad = g * K - n
+        Xa = jnp.pad(Xa, ((0, pad), (0, 0)))
+        Ya = jnp.pad(Ya, ((0, pad), (0, 0)))
+    xb = Xa.reshape(g, K, -1)
+    yb = Ya.reshape(g, K, -1)
+
+    # Only block-column K-1 survives the loop unwritten, so lift just those
+    # G points to projective (selects over (G, D), not (N, D)) and start
+    # from zeroed output buffers — positions 0..K-2 are all overwritten.
+    xl, yl = xb[:, K - 1], yb[:, K - 1]
+    inf = jnp.logical_and(fq.is_zero(xl), fq.is_zero(yl))
+    carry0 = affine_to_proj(xl, yl, inf)
+    x = tuple(
+        jax.lax.dynamic_update_slice(
+            jnp.zeros((g, K, xb.shape[-1]), jnp.uint32), c[:, None], (0, K - 1, 0)
+        )
+        for c in carry0
+    )
+
+    # phase 1: within-block suffix scan; carry is projective, cur affine
+    def body(i, state):
+        carry, out = state
+        t = K - 2 - i
+        cur = (xb[:, t], yb[:, t])
+        carry = proj_madd(fq, carry, cur)
+        out = tuple(
+            jax.lax.dynamic_update_slice(o, c[:, None], (0, t, 0))
+            for o, c in zip(out, carry)
+        )
+        return carry, out
+
+    row_tot, S = jax.lax.fori_loop(0, K - 1, body, (carry0, x))
+    S_flat = tuple(a.reshape(g * K, -1) for a in S)
+
+    # phase 2: suffix-scan the G block totals, shift to exclusive
+    R = point_suffix_scan(fq, row_tot, K)
+    idr = _identity_rows(fq, 1)
+    Rx = tuple(jnp.concatenate([r[1:], i], axis=0) for r, i in zip(R, idr))
+
+    # phase 3: correction only at the gathered positions
+    idx = idx.astype(jnp.int32)
+    valid = (idx < n)[:, None]
+    idx_c = jnp.minimum(idx, n - 1)
+    gathered = _add(
+        fq,
+        tuple(a[idx_c] for a in S_flat),
+        tuple(r[idx_c // K] for r in Rx),
+    )
+    ident = _identity_rows(fq, idx.shape[0])
+    return tuple(jnp.where(valid, a, i) for a, i in zip(gathered, ident))
+
+
 def point_suffix_scan(fq: DeviceField, P, K: int = 16):
     """Inclusive suffix scan T[i] = sum_{j>=i} P[j] over a (N, D) point batch.
 

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 
 from ..fields.host import FR, FieldSpec
 from ..fields.fp import device_field
-from ..curves.g1 import proj_tree_sum
 from .ntt import get_four_step
 from .msm import msm_jacobian_sharded
 
@@ -43,6 +42,14 @@ class ShardedWireCommitter:
 
     spec: scalar field (FR); n: domain size (power of two, four-step
     shardable by the mesh size); c: Pippenger window.
+
+    NOTE (zero-knowledge): `__call__` commits the UNBLINDED wire
+    interpolations — it is the sharded O(n) building block, not a complete
+    round-1 committer.  A prover must use `commit_blinded`, which applies
+    the reference's (b_hi X + b_lo) * Z_H(X) wire blinding
+    (plonk/src/prover.rs:68-90) as a 4-term host-side commitment
+    correction; committing `__call__`'s output directly would leak witness
+    information.
     """
 
     def __init__(self, spec: FieldSpec, n: int, mesh, axis_name: str = SHARD_AXIS, c: int = 8):
@@ -75,6 +82,42 @@ class ShardedWireCommitter:
     def __call__(self, evals3: jnp.ndarray, X, Y, Z):
         """Returns a 3-tuple of projective points (X, Y, Z digit triples)."""
         return self._step(evals3, X, Y, Z)
+
+    def commit_blinded(self, evals3: jnp.ndarray, srs, blinds):
+        """Zero-knowledge round-1 commitments: sharded MSM + blinding fixup.
+
+        Each wire polynomial is a_x = f_ax + (b_hi X + b_lo) * Z_H(X) with
+        Z_H(X) = X^n - 1 (plonk/src/prover.rs:83-90).  The blinding touches
+        only coefficients {0, 1, n, n+1}, so the blinded commitment is the
+        sharded commitment of f_ax plus
+
+            b_hi * ([s^{n+1}] - [s])  +  b_lo * ([s^n] - [1])
+
+        — four host scalar-muls against SRS powers; the O(n) interpolation
+        and MSM stay sharded on the mesh.
+
+        blinds: sequence of 3 (b_hi, b_lo) int pairs (one per wire).
+        Returns 3 host G1Affine points, equal to committing the blinded
+        polynomials directly.
+        """
+        from ..curves import g1 as g1mod
+
+        n = self.n
+        X, Y, Z = srs.g1_proj
+        raw = self._step(evals3, X[:n], Y[:n], Z[:n])
+        # decode the three projective results + the 4 SRS powers in one host pass
+        rX = jnp.stack([p[0] for p in raw])
+        rY = jnp.stack([p[1] for p in raw])
+        rZ = jnp.stack([p[2] for p in raw])
+        pts = g1mod.proj_to_affine_host((rX, rY, rZ))
+        p0, p1, pn, pn1 = g1mod.proj_to_affine_host(
+            tuple(jnp.stack([a[0], a[1], a[n], a[n + 1]]) for a in srs.g1_proj)
+        )
+        out = []
+        for pt, (b_hi, b_lo) in zip(pts, blinds):
+            corr = (pn1 - p1).mul(b_hi) + (pn - p0).mul(b_lo)
+            out.append(pt + corr)
+        return out
 
 
 @functools.lru_cache(maxsize=None)

@@ -125,7 +125,8 @@ class KzgScheme:
         if len(polys) == 1 or (n <= HOST_MSM_MAX and self.srs.size <= HOST_MSM_SRS_MAX):
             return [self.commit(p) for p in polys]
         assert self.srs.size > n - 1, "polynomial degree exceeds SRS"
-        from ..curves.msm import msm_proj_many, pad_msm_inputs, pick_window
+        from ..curves.msm import msm_proj_many, padded_msm_len, pick_window
+        from ..curves import g1 as _g1
 
         stacked = jnp.stack(
             [jnp.pad(p.coeffs, ((0, n - p.coeffs.shape[0]), (0, 0))) for p in polys]
@@ -134,11 +135,15 @@ class KzgScheme:
         sc = sc.reshape(len(polys), n, -1)
         X, Y, Z = self.srs.g1_proj
         c = pick_window(n)
-        # pad point count to the pow2 bucket (scalar pad rides along per-K)
-        sc0, Xp, Yp, Zp = pad_msm_inputs(sc[0], X[:n], Y[:n], Z[:n])
-        m = Xp.shape[0]
+        # pad point count to the pow2 compile bucket (scalar pad per-K)
+        m = padded_msm_len(n)
+        Xp, Yp, Zp = X[:n], Y[:n], Z[:n]
         if m != n:
             sc = jnp.pad(sc, ((0, 0), (0, m - n), (0, 0)))
+            iX, iY, iZ = _g1.proj_identity((m - n,))
+            Xp = jnp.concatenate([Xp, iX], axis=0)
+            Yp = jnp.concatenate([Yp, iY], axis=0)
+            Zp = jnp.concatenate([Zp, iZ], axis=0)
         R = msm_proj_many(sc, Xp, Yp, Zp, c=c)
         pts = g1mod.proj_to_affine_host(R)
         return [KzgCommitment(pt) for pt in pts]

@@ -24,6 +24,7 @@ class Srs:
         self.size = size
         self._secret = secret  # retained only when constructed from a known secret
         self._g1_host: list[G1Affine] | None = None
+        self._g1_aff = None  # device affine (Xa, Ya) cache for the mixed-add MSM
 
     @classmethod
     def new(cls, circuit_size: int) -> "Srs":
@@ -53,6 +54,18 @@ class Srs:
         g2 = G2Affine.generator()
         g2s = g2.mul(secret)
         return cls(pts, g2, g2s, n, secret)
+
+    def g1_affine(self):
+        """Device affine (Xa, Ya) digit arrays of the G1 powers (cached).
+
+        Computed once by a device batch inversion (g1.proj_to_affine_dev);
+        feeds msm_affine's mixed-add path, which is both lighter on the
+        per-window sorted gather (2 coordinate planes instead of 3) and one
+        Montgomery mul cheaper per scan addition.
+        """
+        if self._g1_aff is None:
+            self._g1_aff = g1.proj_to_affine_dev(self.g1_proj)
+        return self._g1_aff
 
     def g1_points_host(self) -> list[G1Affine]:
         if self._g1_host is None:
