@@ -170,7 +170,7 @@ def test_proj_madd_matches_full_add():
     assert proj_to_affine_host(got) == want
 
 
-@pytest.mark.parametrize("n,c", [(5, 4), (70, 8), (100, 13)])
+@pytest.mark.parametrize("n,c", [(5, 4), (70, 8)])
 def test_msm_affine_matches_naive(n, c):
     """msm_affine (mixed-add scan over affine points, zero-padded identity)
     == naive host MSM, including a zero scalar and pow2 identity padding."""

@@ -345,6 +345,11 @@ def _sds(shape, vma: frozenset):
 
 @functools.lru_cache(maxsize=None)
 def _mont_mul_call(spec: FieldSpec, n_tiles: int, interpret: bool, vma: frozenset = frozenset()):
+    # DIGIT-MAJOR boundary layout: operands cross the pallas boundary as
+    # (D, N) so the 128-lane minor dim is the batch (no padding) instead of
+    # the D digits (which XLA pads to 128 — an 8x HBM blowup for D=16 that
+    # OOMed the 2^18-gate PLONK quotient).  Bonus: the kernel body needs no
+    # transposes — blocks arrive in the (D, T) orientation RowOps wants.
     D = spec.num_digits
     consts = row_consts(spec)
     mxu = use_mxu_consts(spec)
@@ -352,7 +357,7 @@ def _mont_mul_call(spec: FieldSpec, n_tiles: int, interpret: bool, vma: frozense
 
     def kernel(const_ref, mat_ref, a_ref, b_ref, out_ref):
         ops = RowOps(spec, const_ref[:].T, mat_ref[:] if mxu else None)
-        out_ref[:] = ops.mul(a_ref[:].T, b_ref[:].T).T
+        out_ref[:] = ops.mul(a_ref[:], b_ref[:])
 
     mat_shape = (4, 2 * D, 2 * D) if mxu else (1, 1, 1)
     call = pl.pallas_call(
@@ -361,11 +366,11 @@ def _mont_mul_call(spec: FieldSpec, n_tiles: int, interpret: bool, vma: frozense
         in_specs=[
             pl.BlockSpec((3, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(mat_shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=_sds((n_tiles * TILE, D), vma),
+        out_specs=pl.BlockSpec((D, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=_sds((D, n_tiles * TILE), vma),
         interpret=interpret,
     )
 
@@ -374,14 +379,23 @@ def _mont_mul_call(spec: FieldSpec, n_tiles: int, interpret: bool, vma: frozense
 
     # keep consts as numpy: a jnp array materialized during a traced first
     # call would leak that trace's tracer into the lru_cached closure
-    def run(a, b):
+    def run(a_dt, b_dt):
         c, m = consts, mats
         if vma:  # under shard_map all pallas inputs must share the varying axes
             c = jax.lax.pvary(jnp.asarray(c), tuple(vma))
             m = jax.lax.pvary(jnp.asarray(m), tuple(vma))
-        return call(c, m, a, b)
+        return call(c, m, a_dt, b_dt)
 
     return run
+
+
+# Max rows a single pallas call sees.  The custom-call's operand layout pads
+# the D-lane minor dim to 128 (8x HBM expansion for D=16, 5.3x for D=24): a
+# 2^24-row Fr multiply — e.g. the PLONK quotient's batched coset NTT at
+# 2^18 gates — would need 3 x 8 GB of padded temps and OOM the 16 GB chip.
+# Chunking bounds the padded transient to ~3 x 512 MB while leaving the
+# unpadded arrays packed outside the kernel.
+MAX_ROWS = 1 << 21
 
 
 def mont_mul_pallas(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
@@ -394,10 +408,16 @@ def mont_mul_pallas(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, interpret: 
     a = jnp.broadcast_to(a, shape + (D,)).reshape(-1, D)
     b = jnp.broadcast_to(b, shape + (D,)).reshape(-1, D)
     n = a.shape[0]
+    if n > MAX_ROWS:
+        outs = [
+            mont_mul_pallas(spec, a[i : i + MAX_ROWS], b[i : i + MAX_ROWS], interpret)
+            for i in range(0, n, MAX_ROWS)
+        ]
+        return jnp.concatenate(outs, axis=0).reshape(shape + (D,))
     n_tiles = max(1, -(-n // TILE))
     padded = n_tiles * TILE
     if padded != n:
         a = jnp.pad(a, ((0, padded - n), (0, 0)))
         b = jnp.pad(b, ((0, padded - n), (0, 0)))
-    out = _mont_mul_call(spec, n_tiles, interpret, inputs_vma(a, b))(a, b)
-    return out[:n].reshape(shape + (D,))
+    out = _mont_mul_call(spec, n_tiles, interpret, inputs_vma(a, b))(a.T, b.T)
+    return out.T[:n].reshape(shape + (D,))

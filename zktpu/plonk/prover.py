@@ -339,11 +339,21 @@ def compute_quotient_polynomial(
 
 
 def _batched_coset_fft(dom_big, polys: list[Poly], offset: int) -> jnp.ndarray:
-    """Stack polynomials and evaluate all on offset*<w> in ONE transform."""
+    """Stack polynomials and evaluate all on offset*<w> in ONE transform.
+
+    The batch is chunked so batch*m stays below ~2^22 elements: XLA:TPU
+    pads the 16-digit minor dim of every NTT intermediate to 128 lanes (8x
+    HBM expansion), so an unchunked 7..9-poly batch at the 8n domain of a
+    2^18-gate circuit allocates >3.5 GB per temp and OOMs the chip."""
     m = dom_big.size
-    stacked = jnp.stack([p._padded(m) for p in polys], axis=0)  # (K, m, D)
-    scaled = FRD.mont_mul(stacked, dom_big._offset_powers(offset))
-    return dom_big.fft(scaled, force_device=True)
+    chunk = max(1, (1 << 22) // m)
+    out = []
+    for i in range(0, len(polys), chunk):
+        part = polys[i : i + chunk]
+        stacked = jnp.stack([p._padded(m) for p in part], axis=0)  # (K, m, D)
+        scaled = FRD.mont_mul(stacked, dom_big._offset_powers(offset))
+        out.append(dom_big.fft(scaled, force_device=True))
+    return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
 
 
 def _coset_divide_zh(dom_big, evals: jnp.ndarray, offset: int, n: int, max_deg: int) -> Poly:
