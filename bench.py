@@ -88,19 +88,41 @@ def main() -> None:
         for _ in range(n):
             powers.append(cur)
             cur = FR.mul(cur, tau)
-        P = g1.fixed_base_mul(G1Affine.generator(), powers)
-        Xa, Ya = g1.proj_to_affine_dev(P)
+        # chunk the fixed-base windows + affine normalization: at 2^22 the
+        # full-width table gathers and adds need ~18 GB of padded HBM temps
+        step = min(n, 1 << 20)
+        xs, ys = [], []
+        for i in range(0, n, step):
+            P = g1.fixed_base_mul(G1Affine.generator(), powers[i : i + step])
+            cXa, cYa = g1.proj_to_affine_dev(P)
+            xs.append(np.asarray(cXa))
+            ys.append(np.asarray(cYa))
+        Xa = jnp.asarray(np.concatenate(xs, axis=0))
+        Ya = jnp.asarray(np.concatenate(ys, axis=0))
         np.savez(pts_file, Xa=np.asarray(Xa), Ya=np.asarray(Ya))
     Z1 = jnp.broadcast_to(jnp.asarray(g1.FQD.one_np), Xa.shape)
     setup_s = time.time() - t0
 
     sc = g1.scalars_to_u32(scalars)
 
+    # At 2^22 the single-shot MSM graph needs ~16.7 GB of (lane-padded) HBM
+    # — ~1 GB over the chip.  MSM is linear in its inputs: split into 2^21
+    # halves and combine the two projective partials (one extra point add).
+    half = min(n, 1 << 21)
+
     def run():
-        out = msm_proj(sc, Xa, Ya, Z1, c=c)
+        parts = []
+        for i in range(0, n, half):
+            parts.append(msm_proj(sc[i : i + half], Xa[i : i + half], Ya[i : i + half], Z1[i : i + half], c=c))
+        acc = parts[0]
+        from zktpu.curves.g1 import proj_add, FQD
+
+        for p in parts[1:]:
+            acc = proj_add(FQD, tuple(a[None] for a in acc), tuple(a[None] for a in p))
+            acc = tuple(a[0] for a in acc)
         # NOTE: block_until_ready is not a reliable barrier through the
         # remote-TPU tunnel; fetching the (tiny) result is.
-        return tuple(np.asarray(jax.device_get(a)) for a in out)
+        return tuple(np.asarray(jax.device_get(a)) for a in acc)
 
     # tunnel roundtrip baseline
     f0 = jax.jit(lambda v: v + 1)

@@ -22,3 +22,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The persistent compile cache's WRITE path (compilation_cache.
+# put_executable_and_time -> zstd) segfaults on this box for some freshly
+# compiled XLA:CPU executables (observed for the digit-major mont-mul kernel
+# and the affine MSM graph).  Keep cache READS (warm runs stay fast) but
+# never write: raise the min-compile-time threshold beyond any real compile.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)

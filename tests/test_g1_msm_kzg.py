@@ -173,7 +173,21 @@ def test_proj_madd_matches_full_add():
 @pytest.mark.parametrize("n,c", [(5, 4), (70, 8)])
 def test_msm_affine_matches_naive(n, c):
     """msm_affine (mixed-add scan over affine points, zero-padded identity)
-    == naive host MSM, including a zero scalar and pow2 identity padding."""
+    == naive host MSM, including a zero scalar and pow2 identity padding.
+
+    Persistent-compile-cache writes are disabled for this test: serializing
+    the large XLA:CPU affine-MSM executable segfaults inside the zstd cache
+    writer (jax compilation_cache.put_executable_and_time)."""
+    import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    try:
+        _run_msm_affine_case(n, c)
+    finally:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _run_msm_affine_case(n, c):
     from zktpu.curves.msm import msm_affine, pad_msm_inputs_affine
     from zktpu.curves.g1 import proj_to_affine_dev, scalars_to_u32
 
