@@ -175,16 +175,10 @@ def test_msm_affine_matches_naive(n, c):
     """msm_affine (mixed-add scan over affine points, zero-padded identity)
     == naive host MSM, including a zero scalar and pow2 identity padding.
 
-    Persistent-compile-cache writes are disabled for this test: serializing
-    the large XLA:CPU affine-MSM executable segfaults inside the zstd cache
-    writer (jax compilation_cache.put_executable_and_time)."""
-    import jax
-
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
-    try:
-        _run_msm_affine_case(n, c)
-    finally:
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    NOTE: persistent-compile-cache WRITES are disabled suite-wide in
+    conftest.py — serializing large fresh XLA:CPU executables (this test's
+    MSM graph among them) segfaults in jax's zstd cache writer."""
+    _run_msm_affine_case(n, c)
 
 
 def _run_msm_affine_case(n, c):

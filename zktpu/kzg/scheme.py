@@ -124,6 +124,12 @@ class KzgScheme:
         n = max(p.coeffs.shape[0] for p in polys)
         if len(polys) == 1 or (n <= HOST_MSM_MAX and self.srs.size <= HOST_MSM_SRS_MAX):
             return [self.commit(p) for p in polys]
+        # Above ~2^19 points a K-wide vmapped MSM multiplies every scan
+        # buffer by K (3 x 3 GB lane-padded buffers x6 at 2^21 OOMs the
+        # chip), and the per-MSM latency the batching amortizes is long
+        # gone — go sequential.
+        if n > (1 << 19):
+            return [self.commit(p) for p in polys]
         assert self.srs.size > n - 1, "polynomial degree exceeds SRS"
         from ..curves.msm import msm_proj_many, padded_msm_len, pick_window
         from ..curves import g1 as _g1
