@@ -70,3 +70,32 @@ def test_pallas_proj_point_ops_match_jnp():
     for a, b in zip(gotd, wantd):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert g1.proj_to_affine_host(gotd) == [p + p for p in pts1]
+
+
+def test_pallas_proj_madd_matches_jnp():
+    """Fused mixed-add kernel (proj + affine) vs the jnp mirror (interpret mode).
+
+    The CPU test backend never dispatches to the compiled kernel
+    (config.pallas_enabled() is False there), so without this interpret-mode
+    case only _proj_madd_jnp would be exercised and the Pallas kernel could
+    drift silently.  Covers the affine-identity (0, 0) lanes, P1 = identity,
+    P1 + P1's own affine, and P1 + (-P1).
+    """
+    from zktpu.curves import g1
+    from zktpu.curves.host_curve import G1Affine
+    from zktpu.curves.pallas_g1 import proj_madd_pallas
+
+    G = G1Affine.generator()
+    pts1 = [G.mul(k) for k in (1, 2, 3, 7, 1)] + [G1Affine.identity()]
+    neg7 = G.mul(host.FR_MODULUS - 7)
+    aff2 = [G1Affine.identity(), G.mul(5), G.mul(3), neg7, G.mul(11), G1Affine.identity()]
+    P = g1.host_points_to_device(pts1)
+    # affine operand: identity encoded (0, 0) — off-curve, unambiguous
+    Xa = g1.FQD.encode_ints([0 if a.infinity else a.x for a in aff2])
+    Ya = g1.FQD.encode_ints([0 if a.infinity else a.y for a in aff2])
+
+    got = proj_madd_pallas(host.FQ, P, (Xa, Ya), interpret=True)
+    want = g1._proj_madd_jnp(g1.FQD, P, (Xa, Ya))
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert g1.proj_to_affine_host(got) == [a + b for a, b in zip(pts1, aff2)]

@@ -136,10 +136,13 @@ def _window_partial_affine(ids, cat, c: int):
 def msm_affine_impl(scalars_u32: jnp.ndarray, Xa, Ya, c: int = 8):
     """MSM over an AFFINE point batch (identity = (0, 0)); returns projective.
 
-    Beats msm_proj two ways: the per-window sorted gather moves (N, 2D)
-    instead of (N, 3D) rows, and every phase-1 scan add is an 11M mixed
-    addition (g1.proj_madd) instead of a 12M full projective one.  Zero
-    scalar padding pairs with (0, 0) affine identity padding.
+    EXPERIMENTAL — not wired into any prover/commit path.  On paper it beats
+    msm_proj two ways: the per-window sorted gather moves (N, 2D) instead of
+    (N, 3D) rows, and every phase-1 scan add is an 11M mixed addition
+    (g1.proj_madd) instead of a 12M full projective one.  Measured at 2^20 it
+    LOSES to the full-projective path (4.37 s vs 3.98 s — see NOTES_PERF.md
+    "Mixed-add experiment" for why); kept correct and tested so any future
+    kernel-layout change can re-evaluate it deliberately.
     """
     digits = window_digits(scalars_u32, c)
     num_windows = digits.shape[0]

@@ -140,7 +140,7 @@ def point_suffix_scan_sparse_affine(fq: DeviceField, A, idx, K: int = 16):
     original point, 11M instead of 12M — g1.proj_madd); phases 2-3 operate
     on the projective partials exactly as the projective variant.
     """
-    from .g1 import proj_madd, affine_to_proj, FQD as _FQD
+    from .g1 import proj_madd, affine_to_proj
 
     Xa, Ya = A
     n = Xa.shape[0]
