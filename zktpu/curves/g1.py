@@ -80,7 +80,7 @@ def _mul12(fq: DeviceField, a):
 def proj_add(fq: DeviceField, P1, P2):
     from ..config import PALLAS_MIN_BATCH
 
-    if _pallas_batch(*P1, *P2) >= PALLAS_MIN_BATCH:
+    if getattr(fq, "pallas_ok", True) and _pallas_batch(*P1, *P2) >= PALLAS_MIN_BATCH:
         from .pallas_g1 import proj_add_pallas
 
         return proj_add_pallas(fq.spec, P1, P2)
@@ -122,7 +122,7 @@ def proj_madd(fq: DeviceField, P1, A2):
     """
     from ..config import PALLAS_MIN_BATCH
 
-    if _pallas_batch(*P1, *A2) >= PALLAS_MIN_BATCH:
+    if getattr(fq, "pallas_ok", True) and _pallas_batch(*P1, *A2) >= PALLAS_MIN_BATCH:
         from .pallas_g1 import proj_madd_pallas
 
         return proj_madd_pallas(fq.spec, P1, A2)
@@ -157,7 +157,7 @@ def _proj_madd_jnp(fq: DeviceField, P1, A2):
 def proj_double(fq: DeviceField, P):
     from ..config import PALLAS_MIN_BATCH
 
-    if _pallas_batch(*P) >= PALLAS_MIN_BATCH:
+    if getattr(fq, "pallas_ok", True) and _pallas_batch(*P) >= PALLAS_MIN_BATCH:
         from .pallas_g1 import proj_double_pallas
 
         return proj_double_pallas(fq.spec, P)

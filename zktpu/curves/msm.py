@@ -56,7 +56,7 @@ def window_digits(scalars_u32: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(cols, axis=0)
 
 
-def _window_partial(ids, P, c: int):
+def _window_partial(ids, P, c: int, fq=None):
     """Bucket-accumulated partial sum for one window's digit vector `ids`.
 
     sum_k k*S_k telescopes over bucket starts s_k (S_k = T[s_k] - T[s_{k+1}],
@@ -68,6 +68,7 @@ def _window_partial(ids, P, c: int):
     not the point additions — dominates the MSM wall clock (the TPU pays
     per gathered row, so 3x fewer row-gathers on 3x wider rows is ~3x
     cheaper)."""
+    fq = FQD if fq is None else fq
     order = jnp.argsort(ids)
     ids_s = ids[order].astype(jnp.int32)
     if isinstance(P, tuple):
@@ -80,25 +81,29 @@ def _window_partial(ids, P, c: int):
     ks = jnp.arange(1, 1 << c, dtype=jnp.int32)
     starts = jnp.searchsorted(ids_s, ks, side="left").astype(jnp.int32)
     # suffix sums evaluated only at the bucket starts (starts == n -> identity)
-    gathered = point_suffix_scan_sparse(FQD, Ps, starts)  # (2^c - 1, D) each
-    return point_blocked_sum(FQD, gathered)
+    gathered = point_suffix_scan_sparse(fq, Ps, starts)  # (2^c - 1, D) each
+    return point_blocked_sum(fq, gathered)
 
 
-def msm_proj_impl(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8):
+def msm_proj_impl(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8, fq=None):
     """MSM over a projective point batch; returns a single projective point (3 arrays).
 
     Unjitted trace body — call from inside an enclosing jit/shard_map region
     (the sharded MSM in zktpu/dist/msm.py traces this per shard).
 
     scalars_u32: (N, 8) canonical little-endian u32 limbs.
+    fq: field backend for the point coordinates — the digit-Montgomery
+    DeviceField (default) or an RnsField (fields/rns.py) over whose
+    representation X/Y/Z must already be encoded.
     """
+    fq = FQD if fq is None else fq
     digits = window_digits(scalars_u32, c)  # (W, N), LSB window first
     num_windows = digits.shape[0]
     cat = jnp.concatenate([X, Y, Z], axis=1)  # (N, 3D): one gather per window
 
     # per-window partials via scan: the graph carries ONE window body
     def scan_body(carry, ids):
-        pX, pY, pZ = _window_partial(ids, cat, c)
+        pX, pY, pZ = _window_partial(ids, cat, c, fq=fq)
         return carry, (pX, pY, pZ)
 
     _, partials = jax.lax.scan(scan_body, 0, digits[::-1])  # MSB first
@@ -107,17 +112,17 @@ def msm_proj_impl(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8):
     # Horner combine: acc = 2^c * acc + partial_w
     def combine(i, acc):
         def dbl(_, a):
-            return proj_double(FQD, a)
+            return proj_double(fq, a)
 
         acc = jax.lax.fori_loop(0, c, dbl, acc)
-        return proj_add(FQD, acc, (pX[i][None], pY[i][None], pZ[i][None]))
+        return proj_add(fq, acc, (pX[i][None], pY[i][None], pZ[i][None]))
 
     acc0 = (pX[0][None], pY[0][None], pZ[0][None])
     out = jax.lax.fori_loop(1, num_windows, combine, acc0)
     return tuple(a[0] for a in out)
 
 
-msm_proj = jax.jit(msm_proj_impl, static_argnames=("c",))
+msm_proj = jax.jit(msm_proj_impl, static_argnames=("c", "fq"))
 
 
 def _window_partial_affine(ids, cat, c: int):

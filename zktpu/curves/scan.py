@@ -33,9 +33,10 @@ def _add(fq, P, Q):
 
 
 def _identity_rows(fq, n: int):
-    from .g1 import proj_identity
-
-    return proj_identity((n,))
+    """(0 : 1 : 0) rows in fq's own representation (digit or RNS layout)."""
+    z = jnp.zeros((n, fq.num_digits), dtype=jnp.uint32)
+    one = jnp.broadcast_to(jnp.asarray(fq.one_np), (n, fq.num_digits))
+    return z, one, z
 
 
 def _pad_identity(fq, P, target: int):
