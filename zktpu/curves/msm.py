@@ -56,6 +56,30 @@ def window_digits(scalars_u32: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(cols, axis=0)
 
 
+def _bucket_starts(ids_s: jnp.ndarray, c: int) -> jnp.ndarray:
+    """lower_bound(ids_s, k) for k = 1..2^c-1 — first index with ids_s[i] >= k.
+
+    Vectorized binary search: ~log2(N) rounds of one tiny (2^c-1,) gather
+    each.  Replaces jnp.searchsorted, which XLA lowers to a per-query loop
+    costing ~22 ms per window at N = 2^20 (r03 profiling: 0.36 s of a
+    3.98 s MSM across 16 windows); this form costs ~1 ms total.
+    """
+    n = ids_s.shape[0]
+    ks = jnp.arange(1, 1 << c, dtype=jnp.int32)
+    lo = jnp.zeros_like(ks)
+    hi = jnp.full_like(ks, n)
+    rounds = max(1, (n - 1).bit_length() + 1)
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) >> 1
+        go_right = ids_s[mid] < ks
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+    return hi
+
+
 def _window_partial(ids, P, c: int, fq=None):
     """Bucket-accumulated partial sum for one window's digit vector `ids`.
 
@@ -78,8 +102,7 @@ def _window_partial(ids, P, c: int, fq=None):
         D = P.shape[1] // 3
         g = P[order]
         Ps = (g[:, :D], g[:, D : 2 * D], g[:, 2 * D :])
-    ks = jnp.arange(1, 1 << c, dtype=jnp.int32)
-    starts = jnp.searchsorted(ids_s, ks, side="left").astype(jnp.int32)
+    starts = _bucket_starts(ids_s, c)
     # suffix sums evaluated only at the bucket starts (starts == n -> identity)
     gathered = point_suffix_scan_sparse(fq, Ps, starts)  # (2^c - 1, D) each
     return point_blocked_sum(fq, gathered)
@@ -132,8 +155,7 @@ def _window_partial_affine(ids, cat, c: int):
     D = cat.shape[1] // 2
     g = cat[order]
     A = (g[:, :D], g[:, D:])
-    ks = jnp.arange(1, 1 << c, dtype=jnp.int32)
-    starts = jnp.searchsorted(ids_s, ks, side="left").astype(jnp.int32)
+    starts = _bucket_starts(ids_s, c)
     gathered = point_suffix_scan_sparse_affine(FQD, A, starts)
     return point_blocked_sum(FQD, gathered)
 

@@ -165,24 +165,25 @@ class RnsField:
         T1 = np.array(
             [[(M1 // mi) % mj for mj in t1_targets] for mi in B], dtype=np.uint32
         )
-        self._t1_lo = jnp.asarray((T1 & 0xFF).astype(np.float32), dtype=_BF16)
-        self._t1_hi = jnp.asarray((T1 >> 8).astype(np.float32), dtype=_BF16)
+        self._t1_blk = self._pack_w(T1)
         self._t1_mods = jnp.asarray(np.array(t1_targets, dtype=np.uint32))
         self._t1_r1 = jnp.asarray(
             np.array([(1 << 16) % m for m in t1_targets], dtype=np.uint32)
         )
-        # step-4 constants over B' + m_r
-        self._p_b2r = jnp.asarray(res(p, t1_targets))
+        # step-4 constants over B' + m_r, with M1^{-1} folded into both terms:
+        # r = (d + q~ p) M1^{-1} = d*invM1 + q~*(p*invM1)  (mod m'_j)
         self._invM1_b2r = jnp.asarray(
             np.array([pow(M1, -1, m) for m in t1_targets], dtype=np.uint32)
+        )
+        self._pinvM1_b2r = jnp.asarray(
+            np.array([p * pow(M1, -1, m) % m for m in t1_targets], dtype=np.uint32)
         )
         # step-5 constants
         self._sig_const = jnp.asarray(
             np.array([pow(M2 // m, -1, m) for m in B2], dtype=np.uint32)
         )
         T2 = np.array([[(M2 // mj) % mi for mi in B] for mj in B2], dtype=np.uint32)
-        self._t2_lo = jnp.asarray((T2 & 0xFF).astype(np.float32), dtype=_BF16)
-        self._t2_hi = jnp.asarray((T2 >> 8).astype(np.float32), dtype=_BF16)
+        self._t2_blk = self._pack_w(T2)
         self._m2j_mod16 = jnp.asarray(
             np.array([(M2 // m) & 0xFFFF for m in B2], dtype=np.uint32)
         )
@@ -206,8 +207,7 @@ class RnsField:
             [[pow(2, 16 * j, int(m)) for m in mods] for j in range(J)],
             dtype=np.uint32,
         )
-        self._w_lo = jnp.asarray((W & 0xFF).astype(np.float32), dtype=_BF16)
-        self._w_hi = jnp.asarray((W >> 8).astype(np.float32), dtype=_BF16)
+        self._w_blk = self._pack_w(W)
         corr = M1 * M1 % p * pow(pow(2, 16 * J, p), -1, p) % p
         self._digit_corr = jnp.asarray(res(corr, B + B2 + [1 << 16]))
 
@@ -262,22 +262,38 @@ class RnsField:
         r = self.r1 if r1 is None else r1
         return _reduce(prod, r, m, folds=3, csubs=3)
 
-    def _matmul_mod(self, x, w_lo, w_hi, mods, r1) -> jnp.ndarray:
+    @staticmethod
+    def _pack_w(W: np.ndarray) -> jnp.ndarray:
+        """(J, C) u32 matrix -> (2J, 3C) bf16 block matrix for _matmul_mod.
+
+        One matmul of [xl | xh] against [[Wlo Whi 0], [0 Wlo Whi]] yields
+        [ll | mid | hh] in a single MXU pass (instead of four), with better
+        lane utilization of the padded output tile.
+        """
+        J, C = W.shape
+        lo = (W & 0xFF).astype(np.float32)
+        hi = (W >> 8).astype(np.float32)
+        blk = np.zeros((2 * J, 3 * C), dtype=np.float32)
+        blk[:J, :C] = lo
+        blk[:J, C : 2 * C] = hi
+        blk[J:, C : 2 * C] = lo
+        blk[J:, 2 * C :] = hi
+        return jnp.asarray(blk, dtype=_BF16)
+
+    def _matmul_mod(self, x, w_blk, mods, r1) -> jnp.ndarray:
         """sum_j x[..., j] * W[j, c]  mod mods[c], exactly, via the MXU.
 
-        x < 2^16 per entry, W < 2^16, J = x.shape[-1] <= 32.  8-bit splits:
-        four bf16 matmuls with f32 accumulation (partial sums < J*2^16 <
-        2^21 — exact).  Recombine mod m: hh*2^16 == red(hh)*r1 (mod m),
-        mid*2^8 and ll join below 2^30.2, then one full reduction.
+        x < 2^16 per entry, W < 2^16, J = x.shape[-1] <= 32.  8-bit splits
+        packed as ONE bf16 matmul with f32 accumulation (partial sums <
+        2*J*255^2 < 2^23 — exact).  Recombine mod m: hh*2^16 == red(hh)*r1
+        (mod m), mid*2^8 and ll join below 2^30.2, then one full reduction.
         """
-        xl = (x & jnp.uint32(0xFF)).astype(_BF16)
-        xh = (x >> 8).astype(_BF16)
-        dot = functools.partial(jnp.matmul, preferred_element_type=_F32)
-        ll = dot(xl, w_lo).astype(_U32)
-        mid = (dot(xl, w_hi) + dot(xh, w_lo)).astype(_U32)  # < 2^22
-        hh = dot(xh, w_hi).astype(_U32)  # < 2^21
+        C = w_blk.shape[1] // 3
+        xs = jnp.concatenate([x & jnp.uint32(0xFF), x >> 8], axis=-1).astype(_BF16)
+        out = jnp.matmul(xs, w_blk, preferred_element_type=_F32).astype(_U32)
+        ll, mid, hh = out[..., :C], out[..., C : 2 * C], out[..., 2 * C :]
         hh = _reduce(hh, r1, mods, folds=1, csubs=2)  # fold: < 2^16.9 < 3m
-        total = hh * r1 + mid * jnp.uint32(256) + ll  # < 2^27 + 2^30 + 2^21
+        total = hh * r1 + mid * jnp.uint32(256) + ll  # < 2^27 + 2^30 + 2^22
         return self._red_prod(total, mods, r1)
 
     # -- field ops (DeviceField interface) ---------------------------------
@@ -285,17 +301,19 @@ class RnsField:
         k = self.k
         d = self._red_prod(a * b)  # step 1, all channels
         qs = self._red_prod(d[..., :k] * self._qs_const, self._modsB, self._r1B)
-        qt = self._matmul_mod(qs, self._t1_lo, self._t1_hi, self._t1_mods, self._t1_r1)
-        # step 4: r = (d + q~ p) / M1 over B' + m_r
-        qp = self._red_prod(qt * self._p_b2r, self._t1_mods, self._t1_r1)
-        u = _csub(d[..., k:] + qp, self._t1_mods)
-        r = self._red_prod(u * self._invM1_b2r, self._t1_mods, self._t1_r1)
+        qt = self._matmul_mod(qs, self._t1_blk, self._t1_mods, self._t1_r1)
+        # step 4: r = (d + q~ p) M1^{-1} over B' + m_r, one fused reduction:
+        # pre-fold both < 2^32 products to < 2^27.1, add (< 2^28.1), reduce.
+        t = _fold(d[..., k:] * self._invM1_b2r, self._t1_r1) + _fold(
+            qt * self._pinvM1_b2r, self._t1_r1
+        )
+        r = _reduce(t, self._t1_r1, self._t1_mods, folds=3, csubs=2)
         rB2, r_r = r[..., :k], r[..., k]
         # step 5: Shenoy-Kumaresan exact extension B' -> B
         sig = self._red_prod(rB2 * self._sig_const, self._t1_mods[:k], self._t1_r1[:k])
         s16 = jnp.sum(sig * self._m2j_mod16, axis=-1)  # u32 wrap == mod 2^16 info
         alpha = ((s16 - r_r) * self._invM2_16) & jnp.uint32(0xFFFF)  # < k, exact
-        outB = self._matmul_mod(sig, self._t2_lo, self._t2_hi, self._modsB, self._r1B)
+        outB = self._matmul_mod(sig, self._t2_blk, self._modsB, self._r1B)
         amod = self._red_prod(alpha[..., None] * self._m2_modB, self._modsB, self._r1B)
         outB = _csub(outB + self._modsB - amod, self._modsB)
         return jnp.concatenate([outB, rB2, r_r[..., None]], axis=-1)
@@ -333,7 +351,7 @@ class RnsField:
         matmul, then one mont_mul by M1^2 * 2^(-16 J) mod p gives
         x * M1 mod p with the standard < (k+2) p bound.
         """
-        v = self._matmul_mod(digits, self._w_lo, self._w_hi, self.mods, self.r1)
+        v = self._matmul_mod(digits, self._w_blk, self.mods, self.r1)
         return self.mont_mul(v, self._digit_corr)
 
 
