@@ -100,7 +100,25 @@ def main() -> None:
         Xa = jnp.asarray(np.concatenate(xs, axis=0))
         Ya = jnp.asarray(np.concatenate(ys, axis=0))
         np.savez(pts_file, Xa=np.asarray(Xa), Ya=np.asarray(Ya))
-    Z1 = jnp.broadcast_to(jnp.asarray(g1.FQD.one_np), Xa.shape)
+    # coordinate backend: RNS on TPU (config.msm_backend; ~2x the digit
+    # path at 2^20 — NOTES_PERF.md round 5), digit elsewhere.
+    from zktpu.config import msm_backend
+
+    backend = msm_backend()
+    if backend == "rns":
+        from zktpu.fields.host import FQ
+        from zktpu.fields.rns import rns_field
+
+        rf = rns_field(FQ)
+        conv = jax.jit(rf.from_digit_mont)
+        step = 1 << 19
+        Xa = jnp.concatenate([conv(Xa[i : i + step]) for i in range(0, n, step)])
+        Ya = jnp.concatenate([conv(Ya[i : i + step]) for i in range(0, n, step)])
+        one_np = rf.one_np
+    else:
+        rf = None
+        one_np = g1.FQD.one_np
+    Z1 = jnp.broadcast_to(jnp.asarray(one_np), Xa.shape)
     setup_s = time.time() - t0
 
     sc = g1.scalars_to_u32(scalars)
@@ -113,12 +131,22 @@ def main() -> None:
     def run():
         parts = []
         for i in range(0, n, half):
-            parts.append(msm_proj(sc[i : i + half], Xa[i : i + half], Ya[i : i + half], Z1[i : i + half], c=c))
+            parts.append(
+                msm_proj(
+                    sc[i : i + half],
+                    Xa[i : i + half],
+                    Ya[i : i + half],
+                    Z1[i : i + half],
+                    c=c,
+                    fq=rf,
+                )
+            )
         acc = parts[0]
         from zktpu.curves.g1 import proj_add, FQD
 
+        add_fq = rf if rf is not None else FQD
         for p in parts[1:]:
-            acc = proj_add(FQD, tuple(a[None] for a in acc), tuple(a[None] for a in p))
+            acc = proj_add(add_fq, tuple(a[None] for a in acc), tuple(a[None] for a in p))
             acc = tuple(a[0] for a in acc)
         # NOTE: block_until_ready is not a reliable barrier through the
         # remote-TPU tunnel; fetching the (tiny) result is.
@@ -144,7 +172,7 @@ def main() -> None:
     pps = n / best
 
     print(
-        f"# msm 2^{args.log_n} c={c} backend={jax.devices()[0].platform} "
+        f"# msm 2^{args.log_n} c={c} backend={jax.devices()[0].platform}/{backend} "
         f"setup={setup_s:.1f}s compile={compile_s:.1f}s best={best * 1e3:.1f}ms",
         file=sys.stderr,
     )

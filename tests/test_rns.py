@@ -181,3 +181,28 @@ def test_msm_rns_matches_naive(rf):
             zi = pow(z, -1, P)
             got = G1Affine(x * zi % P, y * zi % P)
         assert got == want, f"c={c}"
+
+
+def test_kzg_commit_backend_equality(rf):
+    """KzgScheme.commit / commit_many produce identical commitments under
+    the digit and RNS MSM backends (config.msm_backend dispatch)."""
+    from zktpu.kzg import Srs
+    from zktpu.kzg.scheme import KzgScheme
+    from zktpu.poly.poly import Poly
+    import zktpu.config as cfg
+
+    rng = random.Random(9)
+    srs = Srs.new_from_secret(0xABC, 200)
+    sch = KzgScheme(srs)
+    coeffs = [rng.randrange(host.FR.modulus) for _ in range(180)]
+    p1 = Poly.from_ints(host.FR, coeffs)
+    p2 = Poly.from_ints(host.FR, coeffs[:100])
+    saved = cfg.MSM_BACKEND
+    try:
+        cfg.MSM_BACKEND = "digit"
+        want_one, want_many = sch.commit(p1), sch.commit_many([p1, p2])
+        cfg.MSM_BACKEND = "rns"
+        assert sch.commit(p1) == want_one
+        assert sch.commit_many([p1, p2]) == want_many
+    finally:
+        cfg.MSM_BACKEND = saved

@@ -42,3 +42,23 @@ def pallas_enabled() -> bool:
         except Exception:
             return False
     return USE_PALLAS not in ("0", "false", "off")
+
+
+# MSM coordinate backend: "rns" (Montgomery-RNS residues, fields/rns.py) or
+# "digit" (positional 16-bit-digit Montgomery, fields/fp.py).  "auto" = RNS
+# on TPU backends (measured 1.98x the digit path at 2^20: NOTES_PERF.md
+# round 5 — the carry-free RNS group law fuses into one XLA kernel chain,
+# while the digit path pays pallas kernel-boundary costs per point add),
+# digit elsewhere (identical results either way; CPU tests exercise both).
+MSM_BACKEND = os.environ.get("ZKTPU_MSM_BACKEND", "auto")
+
+
+def msm_backend() -> str:
+    if MSM_BACKEND == "auto":
+        import jax
+
+        try:
+            return "rns" if jax.default_backend() == "tpu" else "digit"
+        except Exception:
+            return "digit"
+    return MSM_BACKEND

@@ -202,15 +202,20 @@ def proj_tree_sum(P, axis: int = 0):
     return X[0], Y[0], Z[0]
 
 
-def proj_to_affine_host(P) -> list[G1Affine]:
-    """Batch projective -> host affine points."""
+def proj_to_affine_host(P, fq=None) -> list[G1Affine]:
+    """Batch projective -> host affine points.
+
+    Works for any coordinate backend exposing num_digits/decode_ints
+    (digit-Montgomery DeviceField or RnsField)."""
+    fq = FQD if fq is None else fq
+    W = fq.num_digits
     X, Y, Z = P
-    X = X.reshape(-1, D)
-    Y = Y.reshape(-1, D)
-    Z = Z.reshape(-1, D)
-    x_ints = FQD.decode_ints(X)
-    y_ints = FQD.decode_ints(Y)
-    z_ints = FQD.decode_ints(Z)
+    X = X.reshape(-1, W)
+    Y = Y.reshape(-1, W)
+    Z = Z.reshape(-1, W)
+    x_ints = fq.decode_ints(X)
+    y_ints = fq.decode_ints(Y)
+    z_ints = fq.decode_ints(Z)
     p = FQ.modulus
     out = []
     for x, y, z in zip(x_ints, y_ints, z_ints):

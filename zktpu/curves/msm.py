@@ -222,10 +222,10 @@ def pad_msm_inputs_affine(scalars_u32: jnp.ndarray, Xa, Ya):
 # Pippenger body runs their window scans as one (K*G)-wide batch, so the
 # sequential suffix-scan depth and the dispatch chain are paid once instead
 # of K times.  Same graph size (vmap adds a batch dim, not instances).
-@functools.partial(jax.jit, static_argnames=("c",))
-def msm_proj_many(scalars_u32_k: jnp.ndarray, X, Y, Z, c: int = 8):
+@functools.partial(jax.jit, static_argnames=("c", "fq"))
+def msm_proj_many(scalars_u32_k: jnp.ndarray, X, Y, Z, c: int = 8, fq=None):
     """scalars (K, N, 8) x one point set (N, D) -> K projective points ((K, D) x3)."""
-    return jax.vmap(lambda s: msm_proj_impl(s, X, Y, Z, c=c))(scalars_u32_k)
+    return jax.vmap(lambda s: msm_proj_impl(s, X, Y, Z, c=c, fq=fq))(scalars_u32_k)
 
 # Backwards-compatible aliases (pre-projective-migration names)
 msm_jacobian_impl = msm_proj_impl

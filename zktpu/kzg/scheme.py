@@ -80,6 +80,19 @@ def _mont_digits_to_u32(coeffs: jnp.ndarray) -> jnp.ndarray:
     return FRD.to_u32_limbs(coeffs)
 
 
+def _pad_identity_rows(fq, planes, pad: int):
+    """Append `pad` identity rows (0 : 1 : 0) in the backend's representation."""
+    f = g1mod.FQD if fq is None else fq
+    z = jnp.zeros((pad, f.num_digits), jnp.uint32)
+    one = jnp.broadcast_to(jnp.asarray(f.one_np), (pad, f.num_digits))
+    X, Y, Z = planes
+    return (
+        jnp.concatenate([X, z], axis=0),
+        jnp.concatenate([Y, one], axis=0),
+        jnp.concatenate([Z, z], axis=0),
+    )
+
+
 class KzgScheme:
     def __init__(self, srs: Srs):
         self.srs = srs
@@ -101,14 +114,29 @@ class KzgScheme:
                     acc = acc + pt.mul(s)
             return KzgCommitment(acc)
         sc = _mont_digits_to_u32(coeffs)
-        X, Y, Z = self.srs.g1_proj
-        from ..curves.msm import pad_msm_inputs, pick_window
+        from ..curves.msm import padded_msm_len, pick_window
 
         c = pick_window(n)
-        sc, Xp, Yp, Zp = pad_msm_inputs(sc, X[:n], Y[:n], Z[:n])
-        R = msm_proj(sc, Xp, Yp, Zp, c=c)
-        pt = g1mod.proj_to_affine_host(tuple(a[None] for a in R))[0]
+        fq, (X, Y, Z) = self._msm_planes()
+        m = padded_msm_len(n)
+        Xp, Yp, Zp = X[:n], Y[:n], Z[:n]
+        if m != n:
+            sc = jnp.pad(sc, ((0, m - n), (0, 0)))
+            Xp, Yp, Zp = _pad_identity_rows(fq, (Xp, Yp, Zp), m - n)
+        R = msm_proj(sc, Xp, Yp, Zp, c=c, fq=fq)
+        pt = g1mod.proj_to_affine_host(tuple(a[None] for a in R), fq=fq)[0]
         return KzgCommitment(pt)
+
+    def _msm_planes(self):
+        """(field backend, SRS point planes) per config.msm_backend()."""
+        from ..config import msm_backend
+
+        if msm_backend() == "rns":
+            from ..fields.host import FQ
+            from ..fields.rns import rns_field
+
+            return rns_field(FQ), self.srs.g1_rns()
+        return None, self.srs.g1_proj
 
     def commit_many(self, polys: list[Poly]) -> list[KzgCommitment]:
         """Commit K same-SRS polynomials via ONE batched MSM.
@@ -132,26 +160,22 @@ class KzgScheme:
             return [self.commit(p) for p in polys]
         assert self.srs.size > n - 1, "polynomial degree exceeds SRS"
         from ..curves.msm import msm_proj_many, padded_msm_len, pick_window
-        from ..curves import g1 as _g1
 
         stacked = jnp.stack(
             [jnp.pad(p.coeffs, ((0, n - p.coeffs.shape[0]), (0, 0))) for p in polys]
         )  # (K, n, D)
         sc = _mont_digits_to_u32(stacked.reshape(-1, stacked.shape[-1]))
         sc = sc.reshape(len(polys), n, -1)
-        X, Y, Z = self.srs.g1_proj
+        fq, (X, Y, Z) = self._msm_planes()
         c = pick_window(n)
         # pad point count to the pow2 compile bucket (scalar pad per-K)
         m = padded_msm_len(n)
         Xp, Yp, Zp = X[:n], Y[:n], Z[:n]
         if m != n:
             sc = jnp.pad(sc, ((0, 0), (0, m - n), (0, 0)))
-            iX, iY, iZ = _g1.proj_identity((m - n,))
-            Xp = jnp.concatenate([Xp, iX], axis=0)
-            Yp = jnp.concatenate([Yp, iY], axis=0)
-            Zp = jnp.concatenate([Zp, iZ], axis=0)
-        R = msm_proj_many(sc, Xp, Yp, Zp, c=c)
-        pts = g1mod.proj_to_affine_host(R)
+            Xp, Yp, Zp = _pad_identity_rows(fq, (Xp, Yp, Zp), m - n)
+        R = msm_proj_many(sc, Xp, Yp, Zp, c=c, fq=fq)
+        pts = g1mod.proj_to_affine_host(R, fq=fq)
         return [KzgCommitment(pt) for pt in pts]
 
     def commit_vector(self, coeffs: list[int]) -> KzgCommitment:

@@ -25,6 +25,7 @@ class Srs:
         self._secret = secret  # retained only when constructed from a known secret
         self._g1_host: list[G1Affine] | None = None
         self._g1_aff = None  # device affine (Xa, Ya) cache for the mixed-add MSM
+        self._g1_rns = None  # device RNS residue planes for the RNS MSM backend
 
     @classmethod
     def new(cls, circuit_size: int) -> "Srs":
@@ -66,6 +67,34 @@ class Srs:
         if self._g1_aff is None:
             self._g1_aff = g1.proj_to_affine_dev(self.g1_proj)
         return self._g1_aff
+
+    def g1_rns(self):
+        """Device RNS residue planes (X, Y, Z) of the G1 powers (cached).
+
+        One-time chunked digit->RNS conversion (fields/rns.py
+        from_digit_mont); feeds msm_proj(..., fq=rns_field(FQ)), the default
+        commit backend on TPU (config.msm_backend)."""
+        if self._g1_rns is None:
+            import jax
+            import jax.numpy as jnp
+
+            from ..fields.host import FQ
+            from ..fields.rns import rns_field
+
+            rf = rns_field(FQ)
+            conv = jax.jit(rf.from_digit_mont)
+            step = 1 << 19
+            n = self.g1_proj[0].shape[0]
+
+            def plane(a):
+                if n <= step:
+                    return conv(a)
+                return jnp.concatenate(
+                    [conv(a[i : i + step]) for i in range(0, n, step)]
+                )
+
+            self._g1_rns = tuple(plane(a) for a in self.g1_proj)
+        return self._g1_rns
 
     def g1_points_host(self) -> list[G1Affine]:
         if self._g1_host is None:
