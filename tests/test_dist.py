@@ -43,6 +43,29 @@ def test_sharded_msm_matches_single_chip(mesh):
     )
 
 
+def test_sharded_msm_rns_backend_matches_single_chip(mesh):
+    """Sharded MSM over the RNS coordinate backend (fields/rns.py) vs the
+    single-chip digit path — validates the residue group law under
+    shard_map (no pallas inside, so no varying-axes concerns)."""
+    from zktpu.fields.host import FQ
+    from zktpu.fields.rns import rns_field
+
+    rf = rns_field(FQ)
+    rng = np.random.default_rng(11)
+    n = 64
+    scalars = [int(rng.integers(0, 1 << 62)) * 5 + i for i in range(n)]
+    base = G1Affine.generator()
+    pts = g1.fixed_base_mul(base, list(range(2, n + 2)))
+    sc = g1.scalars_to_u32(scalars)
+    X, Y, Z = pts
+    single = msm_proj(sc, X, Y, Z, c=4)
+    Xr, Yr, Zr = (rf.from_digit_mont(a) for a in pts)
+    shard = msm_jacobian_sharded(sc, Xr, Yr, Zr, mesh=mesh, c=4, fq=rf)
+    assert g1.proj_to_affine_host(tuple(a[None] for a in single)) == g1.proj_to_affine_host(
+        tuple(a[None] for a in shard), fq=rf
+    )
+
+
 @pytest.mark.parametrize("n", [64, 256, 4096])
 def test_four_step_ntt_matches_single_chip(mesh, n):
     dom = get_domain(FR, n)

@@ -182,14 +182,15 @@ def _proj_double_jnp(fq: DeviceField, P):
     return X3, Y3, Z3
 
 
-def proj_tree_sum(P, axis: int = 0):
+def proj_tree_sum(P, axis: int = 0, fq=None):
     """Sum a batch of projective points along `axis` via log-depth tree adds."""
+    fq = FQD if fq is None else fq
     X, Y, Z = (jnp.moveaxis(a, axis, 0) for a in P)
     n = X.shape[0]
     while n > 1:
         half = n // 2
         sX, sY, sZ = proj_add(
-            FQD,
+            fq,
             (X[:half], Y[:half], Z[:half]),
             (X[half : 2 * half], Y[half : 2 * half], Z[half : 2 * half]),
         )

@@ -23,14 +23,17 @@ from ..curves.g1 import proj_tree_sum
 shard_map = jax.shard_map
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis_name", "c"))
-def msm_jacobian_sharded(scalars_u32, X, Y, Z, *, mesh, axis_name="shard", c=8):
+@functools.partial(jax.jit, static_argnames=("mesh", "axis_name", "c", "fq"))
+def msm_jacobian_sharded(scalars_u32, X, Y, Z, *, mesh, axis_name="shard", c=8, fq=None):
     """Sharded MSM: scalars (N, 8) u32 + projective point arrays (N, D) sharded
     along axis 0 of `mesh`; returns one projective point (3 arrays of shape (D,)).
+
+    `fq` selects the coordinate backend (digit-Montgomery default, or an
+    RnsField with points pre-encoded as residues — see fields/rns.py).
     """
 
     def local(sc, Xs, Ys, Zs):
-        pX, pY, pZ = msm_proj_impl(sc, Xs, Ys, Zs, c=c)
+        pX, pY, pZ = msm_proj_impl(sc, Xs, Ys, Zs, c=c, fq=fq)
         return pX[None], pY[None], pZ[None]
 
     sharded = P(axis_name, None)
@@ -42,4 +45,4 @@ def msm_jacobian_sharded(scalars_u32, X, Y, Z, *, mesh, axis_name="shard", c=8):
         check_vma=False,  # pallas kernels inside carry no varying-axes types
     )
     partials = fn(scalars_u32, X, Y, Z)  # (n_dev, D) each
-    return proj_tree_sum(partials)
+    return proj_tree_sum(partials, fq=fq)
