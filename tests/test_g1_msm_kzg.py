@@ -198,3 +198,16 @@ def _run_msm_affine_case(n, c):
     for s, pt in zip(scalars, base_pts):
         want = want + pt.mul(s)
     assert got == want
+
+
+def test_padded_msm_len_buckets():
+    from zktpu.curves.msm import padded_msm_len
+
+    assert padded_msm_len(1) == 16
+    assert padded_msm_len(70) == 128
+    assert padded_msm_len(4096) == 4096
+    assert padded_msm_len(4097) == 4096 + 256
+    assert padded_msm_len(4096 + 256) == 4096 + 256
+    assert padded_msm_len(4096 + 257) == 8192
+    assert padded_msm_len((1 << 18) + 2) == (1 << 18) + 256
+    assert padded_msm_len((1 << 20) + 5) == (1 << 20) + 256

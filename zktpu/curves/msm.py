@@ -93,7 +93,9 @@ def _window_partial(ids, P, c: int, fq=None):
     per gathered row, so 3x fewer row-gathers on 3x wider rows is ~3x
     cheaper)."""
     fq = FQD if fq is None else fq
-    order = jnp.argsort(ids)
+    # stability is irrelevant: equal ids land in the same bucket and point
+    # addition is exact/commutative, so any grouping order gives the same sum
+    order = jnp.argsort(ids, stable=False)
     ids_s = ids[order].astype(jnp.int32)
     if isinstance(P, tuple):
         X, Y, Z = P
@@ -233,8 +235,22 @@ msm_jacobian = msm_proj
 
 
 def padded_msm_len(n: int) -> int:
-    """Compile-bucket length for an N-point MSM: next pow2, floor 16."""
-    return max(16, 1 << (n - 1).bit_length()) if n > 1 else 16
+    """Compile-bucket length for an N-point MSM: next pow2 (floor 16), or
+    pow2 + 256 when n is just above a power of two.
+
+    The +256 buckets exist for the PLONK prover: blinding puts every wire /
+    grand-product / quotient-slice / witness polynomial at degree
+    circuit_size + {1..5} (plonk/src/prover.rs:68-90), and rounding those
+    to the NEXT pow2 would double the MSM work of all nine size-n commits.
+    The scan (curves/scan.py) handles any length, so the only cost is one
+    more compile bucket per size."""
+    if n <= 1:
+        return 16
+    m = max(16, 1 << (n - 1).bit_length())
+    h = m >> 1
+    if h >= 4096 and n <= h + 256:
+        return h + 256
+    return m
 
 
 def pad_msm_inputs(scalars_u32: jnp.ndarray, X, Y, Z):
