@@ -56,6 +56,12 @@ class Radix2Domain:
         self._perm = _bit_reverse_perm(n)
         self._fwd_tw = self._twiddle_stack(self.group_gen)
         self._inv_tw = self._twiddle_stack(self.group_gen_inv)
+        # Twiddles and the permutation are passed as ARGUMENTS, not read from
+        # self inside the traced body: jit-closure arrays are embedded as HLO
+        # constants, and at a 2^22 domain the serialized program (~300 MB of
+        # twiddle literals) exceeds the remote-compile tunnel's upload limit
+        # (HTTP 413).  As parameters they ship once as device buffers.
+        self._perm_dev = jnp.asarray(self._perm)
         self._fft_jit = jax.jit(functools.partial(self._transform, inverse=False))
         self._ifft_jit = jax.jit(functools.partial(self._transform, inverse=True))
 
@@ -108,12 +114,11 @@ class Radix2Domain:
 
     # -- device transforms --
 
-    def _transform(self, values: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    def _transform(self, values: jnp.ndarray, perm: jnp.ndarray, tables, inverse: bool) -> jnp.ndarray:
         df = self.df
         n = self.size
         assert values.shape[-2] == n, (values.shape, n)
-        x = values[..., self._perm, :]
-        tables = self._inv_tw if inverse else self._fwd_tw
+        x = values[..., perm, :]
         for s in range(1, self.log_n + 1):
             m = 1 << s
             half = m // 2
@@ -159,7 +164,12 @@ class Radix2Domain:
             vals = self.df.decode_ints(arr)
             out = self._host_transform(vals, inverse)
             return self.df.encode_ints(out)
-        return (self._ifft_jit if inverse else self._fft_jit)(arr)
+        return self._run_device(arr, inverse)
+
+    def _run_device(self, arr: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        tables = tuple(self._inv_tw if inverse else self._fwd_tw)
+        fn = self._ifft_jit if inverse else self._fft_jit
+        return fn(arr, self._perm_dev, tables)
 
     def fft(self, coeffs: jnp.ndarray, force_device: bool = False) -> jnp.ndarray:
         """coeffs: (..., m, D) with m <= n; zero-padded to n automatically."""
@@ -167,7 +177,7 @@ class Radix2Domain:
         if self.size == 1:
             return coeffs
         if force_device:
-            return self._fft_jit(coeffs)
+            return self._run_device(coeffs, inverse=False)
         return self._transform_tiered(coeffs, inverse=False)
 
     def ifft(self, evals: jnp.ndarray, force_device: bool = False) -> jnp.ndarray:
@@ -175,7 +185,7 @@ class Radix2Domain:
         if self.size == 1:
             return evals
         if force_device:
-            return self._ifft_jit(evals)
+            return self._run_device(evals, inverse=True)
         return self._transform_tiered(evals, inverse=True)
 
     def _pad(self, coeffs: jnp.ndarray) -> jnp.ndarray:
