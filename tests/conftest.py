@@ -28,4 +28,7 @@ jax.config.update("jax_platforms", "cpu")
 # compiled XLA:CPU executables (observed for the digit-major mont-mul kernel
 # and the affine MSM graph).  Keep cache READS (warm runs stay fast) but
 # never write: raise the min-compile-time threshold beyond any real compile.
+# The env var makes zktpu/__init__.py (imported AFTER this file, and which
+# otherwise re-enables writes) preserve the setting.
+os.environ["ZKTPU_CACHE_WRITE"] = "0"
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)

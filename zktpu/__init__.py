@@ -46,7 +46,15 @@ try:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # ZKTPU_CACHE_WRITE=0 keeps cache READS but never writes: the zstd write
+    # path segfaults on this box for some fresh XLA:CPU executables.  The
+    # gate must live HERE (not only in tests/conftest.py): this import runs
+    # after conftest and would otherwise clobber its config.update — which
+    # is exactly how the r05 full-suite segfault happened.
+    if os.environ.get("ZKTPU_CACHE_WRITE", "1") in ("0", "false", "off"):
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    else:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:  # pragma: no cover - cache is best-effort
     pass
 
