@@ -103,3 +103,31 @@ def test_plonk_accept_example_circuit():
     srs = Srs.new_from_secret(777, compiled.size)
     proof = generate_proof(compiled, srs, rng=StdRng.from_seed_u64(13))
     verify(compiled, srs, proof)
+
+
+def test_quotient_4n_path_matches_8n_path():
+    """The evaluation-form 4n permutation-quotient path (used above
+    ZKTPU_QUOTIENT_8N_MAX_N to halve the largest FFT domain) must produce a
+    byte-identical proof to the exact 8n path, and verify."""
+    import zktpu.config as cfg
+    from zktpu.kzg import Srs
+    from zktpu.plonk.parser import Parser
+    from zktpu.plonk.prover import generate_proof
+    from zktpu.plonk.verifier import verify
+    from zktpu.transcript.chacha import StdRng
+
+    parser = Parser()
+    for name, value in (("x", 1), ("y", 2), ("z", 3)):
+        parser.add_witness(name, value)
+    compiled = parser.parse("x*y+3*x^2+x*y*z=11").compile()
+    srs = Srs.new_from_secret(0x5EED, compiled.size)
+    saved = cfg.QUOTIENT_8N_MAX_N
+    try:
+        cfg.QUOTIENT_8N_MAX_N = 1 << 19
+        p8 = generate_proof(compiled, srs, StdRng.from_seed_u64(7))
+        cfg.QUOTIENT_8N_MAX_N = 4
+        p4 = generate_proof(compiled, srs, StdRng.from_seed_u64(7))
+    finally:
+        cfg.QUOTIENT_8N_MAX_N = saved
+    assert p4 == p8
+    verify(compiled, srs, p4)

@@ -62,3 +62,10 @@ def msm_backend() -> str:
         except Exception:
             return "digit"
     return MSM_BACKEND
+
+
+# PLONK quotient: circuit sizes up to this use the exact 8n-domain
+# permutation-part division; above it the evaluation-form 4n path (same
+# result for honest witnesses, deg(t23) <= 3n+5 < 4n; see
+# plonk/prover.py::_quotient_coset) keeps the largest FFT inside HBM.
+QUOTIENT_8N_MAX_N = _env_int("ZKTPU_QUOTIENT_8N_MAX_N", 1 << 19)

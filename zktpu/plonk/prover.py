@@ -418,36 +418,61 @@ def _quotient_coset(
     )
     q1 = _coset_divide_zh(dom4, line1, off, n, max_deg=2 * n + 1)
 
-    # -- part 2-3: permutation argument, deg(num) <= 4n+5 -> 8n points
-    dom8 = get_domain(FR, 8 * n)
-    A8, B8, C8, Z8, S1, S2, S3 = _batched_coset_fft(
-        dom8, [ax, bx, cx, z_x, cc.s_sigma_1, cc.s_sigma_2, cc.s_sigma_3], off
-    )
-    # z_wx(X) = z_x(wX) and w = w_{8n}^8, so its coset evals are a rotation
-    Z8w = jnp.roll(Z8, -8, axis=0)
-    X8 = df.mont_mul(dom8.elements_device(), df.encode_int(off))  # coset points
-    bX = df.mont_mul(X8, beta_d)
-    t2 = df.mont_mul(
-        df.mont_mul(
-            df.add(df.add(A8, bX), gamma_d),
-            df.add(df.add(B8, df.mont_mul(bX, df.encode_int(cc.k1))), gamma_d),
-        ),
-        df.mont_mul(
-            df.add(df.add(C8, df.mont_mul(bX, df.encode_int(cc.k2))), gamma_d), Z8
-        ),
-    )
-    t3 = df.mont_mul(
-        df.mont_mul(
-            df.add(df.add(A8, df.mont_mul(S1, beta_d)), gamma_d),
-            df.add(df.add(B8, df.mont_mul(S2, beta_d)), gamma_d),
-        ),
-        df.mont_mul(df.add(df.add(C8, df.mont_mul(S3, beta_d)), gamma_d), Z8w),
-    )
-    line23 = df.mont_mul(df.sub(t2, t3), alpha_d)
-    q23 = _coset_divide_zh(dom8, line23, off, n, max_deg=3 * n + 5)
+    def perm_lines(Ax, Bx, Cx, Zx, Zw, S1x, S2x, S3x, bX):
+        """alpha * (z*f - z_w*g) pointwise on a coset (prover.rs:381-420)."""
+        t2 = df.mont_mul(
+            df.mont_mul(
+                df.add(df.add(Ax, bX), gamma_d),
+                df.add(df.add(Bx, df.mont_mul(bX, df.encode_int(cc.k1))), gamma_d),
+            ),
+            df.mont_mul(
+                df.add(df.add(Cx, df.mont_mul(bX, df.encode_int(cc.k2))), gamma_d), Zx
+            ),
+        )
+        t3 = df.mont_mul(
+            df.mont_mul(
+                df.add(df.add(Ax, df.mont_mul(S1x, beta_d)), gamma_d),
+                df.add(df.add(Bx, df.mont_mul(S2x, beta_d)), gamma_d),
+            ),
+            df.mont_mul(df.add(df.add(Cx, df.mont_mul(S3x, beta_d)), gamma_d), Zw),
+        )
+        return df.mont_mul(df.sub(t2, t3), alpha_d)
+
+    from ..config import QUOTIENT_8N_MAX_N
+
+    if n <= QUOTIENT_8N_MAX_N:
+        # -- part 2-3 (exact path): deg(num) <= 4n+5 -> 8n points
+        dom8 = get_domain(FR, 8 * n)
+        A8, B8, C8, Z8, S1, S2, S3 = _batched_coset_fft(
+            dom8, [ax, bx, cx, z_x, cc.s_sigma_1, cc.s_sigma_2, cc.s_sigma_3], off
+        )
+        # z_wx(X) = z_x(wX) and w = w_{8n}^8, so its coset evals are a rotation
+        Z8w = jnp.roll(Z8, -8, axis=0)
+        X8 = df.mont_mul(dom8.elements_device(), df.encode_int(off))  # coset points
+        line23 = perm_lines(A8, B8, C8, Z8, Z8w, S1, S2, S3, df.mont_mul(X8, beta_d))
+        q23 = _coset_divide_zh(dom8, line23, off, n, max_deg=3 * n + 5)
+        Z4, L1_4 = _batched_coset_fft(dom4, [z_x, l1_poly(dom)], off)
+    else:
+        # -- part 2-3 (evaluation-form path for large n): the QUOTIENT
+        # t23 = num23 / Z_H has degree <= 3n+5 < 4n, so its values on the
+        # SAME 4n coset as part 1 determine it exactly — no 8n domain.  The
+        # numerator (deg 4n+5) aliases on 4n points, but num23/Z_H evaluated
+        # pointwise equals t23 there whenever the division is remainder-free
+        # (honest witness); a bad witness still trips the iFFT tail check
+        # with overwhelming probability over beta/gamma (aliasing moves the
+        # remainder term into the checked tail), rather than with certainty
+        # as on the 8n path.  This halves the largest FFT domain: at 2^20
+        # gates the 8n path's 2^23-point transforms exceed HBM (the 16-digit
+        # minor dim is lane-padded 8x), the 4n path's 2^22 fit.
+        Z4, S1, S2, S3, L1_4 = _batched_coset_fft(
+            dom4, [z_x, cc.s_sigma_1, cc.s_sigma_2, cc.s_sigma_3, l1_poly(dom)], off
+        )
+        Z4w = jnp.roll(Z4, -4, axis=0)  # z(wX): w = w_{4n}^4 on the 4n coset
+        X4 = df.mont_mul(dom4.elements_device(), df.encode_int(off))
+        line23 = perm_lines(A, B, C, Z4, Z4w, S1, S2, S3, df.mont_mul(X4, beta_d))
+        q23 = _coset_divide_zh(dom4, line23, off, n, max_deg=3 * n + 5)
 
     # -- part 4: L1 * (z - 1), deg(num) <= 2n+1 -> 4n points
-    Z4, L1_4 = _batched_coset_fft(dom4, [z_x, l1_poly(dom)], off)
     one_d = jnp.asarray(df.one_np)
     a2 = df.encode_int(FR.mul(alpha, alpha))
     line4 = df.mont_mul(df.mont_mul(df.sub(Z4, one_d), L1_4), a2)
