@@ -82,13 +82,13 @@ class FourStepNTT:
             x = jax.lax.all_to_all(x, ax, split_axis=1, concat_axis=0, tiled=True)
             # (R, C/ndev, D): column NTTs (length R along axis 0)
             x = jnp.swapaxes(x, 0, 1)  # (C/ndev, R, D)
-            x = dom_r._transform(x, inverse=inverse)
+            x = dom_r.transform_inline(x, inverse=inverse)
             x = jnp.swapaxes(x, 0, 1)  # (R, C/ndev, D)
             x = df.mont_mul(x, W)
             # reshard rows (k1) across devices for the row NTTs
             x = jax.lax.all_to_all(x, ax, split_axis=0, concat_axis=1, tiled=True)
             # (R/ndev, C, D): row NTTs (length C along axis 1)
-            x = dom_c._transform(x, inverse=inverse)
+            x = dom_c.transform_inline(x, inverse=inverse)
             # output ordering X[k1 + R*k2]: shard k2, transpose locally
             x = jax.lax.all_to_all(x, ax, split_axis=1, concat_axis=0, tiled=True)
             # (R, C/ndev, D) indexed [k1, k2_local]

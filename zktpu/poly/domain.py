@@ -171,6 +171,14 @@ class Radix2Domain:
         fn = self._ifft_jit if inverse else self._fft_jit
         return fn(arr, self._perm_dev, tables)
 
+    def transform_inline(self, values: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        """Trace the butterfly network into an ENCLOSING jit/shard_map region
+        (twiddles as closure constants — fine for the small per-axis domains
+        of the four-step NTT, wrong for huge standalone transforms: use
+        fft/ifft, which ship twiddles as parameters)."""
+        tables = tuple(self._inv_tw if inverse else self._fwd_tw)
+        return self._transform(values, self._perm_dev, tables, inverse=inverse)
+
     def fft(self, coeffs: jnp.ndarray, force_device: bool = False) -> jnp.ndarray:
         """coeffs: (..., m, D) with m <= n; zero-padded to n automatically."""
         coeffs = self._pad(coeffs)
