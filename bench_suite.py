@@ -92,6 +92,14 @@ def bench_plonk(log_n: int = 14) -> None:
     t0 = time.time()
     srs = Srs.new_from_secret(0x5EED, circuit.size)
     srs_s = time.time() - t0
+    if log_n >= 19:
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            # big circuits are HBM-bound: build the RNS commit planes now and
+            # drop the digit planes from the chip (srs.offload_digit_planes)
+            srs.g1_rns()
+            srs.offload_digit_planes()
 
     # cold run includes XLA compiles (one per kernel/size bucket, persisted
     # to the on-disk cache); the warm run is the steady-state prove time

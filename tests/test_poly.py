@@ -152,3 +152,31 @@ def test_interpolate_matches_reference_semantics():
     poly = poly_from_evals(dom, df.encode_ints(vals))
     for i, w in enumerate(dom.elements_ints()):
         assert poly.evaluate(w) == vals[i]
+
+
+def test_packed_storage_roundtrip_and_ops():
+    """Poly's packed at-rest storage (lane-compaction, poly.py docstring)
+    must be value-transparent: force the threshold down and compare every
+    core op against unpacked polys."""
+    import zktpu.poly.poly as pp
+    from zktpu.fields.host import FR
+
+    vals_a = [(i * 7919 + 3) % FR.modulus for i in range(1, 130)]
+    vals_b = [(i * 104729 + 11) % FR.modulus for i in range(1, 70)]
+    saved = pp._PACK_MIN_ROWS
+    try:
+        big_a, big_b = pp.Poly.from_ints(FR, vals_a), pp.Poly.from_ints(FR, vals_b)
+        pp._PACK_MIN_ROWS = 8
+        pk_a, pk_b = pp.Poly.from_ints(FR, vals_a), pp.Poly.from_ints(FR, vals_b)
+        assert pk_a._packed is not None  # actually packed
+        assert pk_a.to_ints() == vals_a
+        assert (pk_a + pk_b).to_ints() == (big_a + big_b).to_ints()
+        assert (pk_a - pk_b).to_ints() == (big_a - big_b).to_ints()
+        assert (pk_a * pk_b).to_ints() == (big_a * big_b).to_ints()
+        q1, r1 = pk_a.divide_by_vanishing(16)
+        q2, r2 = big_a.divide_by_vanishing(16)
+        assert q1.to_ints() == q2.to_ints() and r1.to_ints() == r2.to_ints()
+        z = 12345
+        assert pk_a.evaluate(z) == big_a.evaluate(z)
+    finally:
+        pp._PACK_MIN_ROWS = saved

@@ -96,6 +96,20 @@ class Srs:
             self._g1_rns = tuple(plane(a) for a in self.g1_proj)
         return self._g1_rns
 
+    def offload_digit_planes(self) -> None:
+        """Move the digit-Montgomery G1 planes to host memory (numpy).
+
+        After g1_rns() conversion the TPU commit path never touches them,
+        but at rest they hold ~1.6 GB of lane-padded HBM at a 2^20 SRS.
+        Every consumer (host fallbacks, checkpointing, generator slice)
+        accepts numpy transparently; jnp ops re-upload on demand."""
+        import numpy as _np
+        import jax as _jax
+
+        self.g1_proj = tuple(
+            _np.asarray(_jax.device_get(a)) for a in self.g1_proj
+        )
+
     def g1_points_host(self) -> list[G1Affine]:
         if self._g1_host is None:
             self._g1_host = g1.proj_to_affine_host(self.g1_proj)

@@ -102,19 +102,18 @@ class Radix2Domain:
             for _ in range(half):
                 vals.append(spec.to_mont(cur))
                 cur = spec.mul(cur, gen)
-            E = np.asarray(ints_to_digits(vals, spec.num_digits), dtype=np.uint32)
+            E = jnp.asarray(ints_to_digits(vals, spec.num_digits), dtype=jnp.uint32)
         else:
             E = self.df.powers(gen, half)
-        tables = []
-        for s in range(1, self.log_n + 1):
-            m = 1 << s
-            stride = self.size // m
-            tables.append(E[::stride][: m // 2])
-        return tables
+        # Return E itself; _transform slices the per-stage tables inside the
+        # traced body.  Materializing all log_n stage tables here would hold
+        # ~2x E of extra HBM at rest PER DIRECTION (and the 16-digit minor
+        # dim is lane-padded 8x, so that is ~4 GB at a 2^22 domain).
+        return E
 
     # -- device transforms --
 
-    def _transform(self, values: jnp.ndarray, perm: jnp.ndarray, tables, inverse: bool) -> jnp.ndarray:
+    def _transform(self, values: jnp.ndarray, perm: jnp.ndarray, E: jnp.ndarray, inverse: bool) -> jnp.ndarray:
         df = self.df
         n = self.size
         assert values.shape[-2] == n, (values.shape, n)
@@ -122,11 +121,13 @@ class Radix2Domain:
         for s in range(1, self.log_n + 1):
             m = 1 << s
             half = m // 2
+            stride = n // m
+            table = E[::stride][:half]  # stage twiddles, sliced in-graph
             lead = x.shape[:-2]
             xr = x.reshape(lead + (n // m, m, df.num_digits))
             even = xr[..., :half, :]
             odd = xr[..., half:, :]
-            t = df.mont_mul(odd, tables[s - 1])
+            t = df.mont_mul(odd, table)
             x = jnp.concatenate([df.add(even, t), df.sub(even, t)], axis=-2)
             x = x.reshape(lead + (n, df.num_digits))
         if inverse:
@@ -167,17 +168,17 @@ class Radix2Domain:
         return self._run_device(arr, inverse)
 
     def _run_device(self, arr: jnp.ndarray, inverse: bool) -> jnp.ndarray:
-        tables = tuple(self._inv_tw if inverse else self._fwd_tw)
+        E = self._inv_tw if inverse else self._fwd_tw
         fn = self._ifft_jit if inverse else self._fft_jit
-        return fn(arr, self._perm_dev, tables)
+        return fn(arr, self._perm_dev, E)
 
     def transform_inline(self, values: jnp.ndarray, inverse: bool) -> jnp.ndarray:
         """Trace the butterfly network into an ENCLOSING jit/shard_map region
         (twiddles as closure constants — fine for the small per-axis domains
         of the four-step NTT, wrong for huge standalone transforms: use
         fft/ifft, which ship twiddles as parameters)."""
-        tables = tuple(self._inv_tw if inverse else self._fwd_tw)
-        return self._transform(values, self._perm_dev, tables, inverse=inverse)
+        E = self._inv_tw if inverse else self._fwd_tw
+        return self._transform(values, self._perm_dev, E, inverse=inverse)
 
     def fft(self, coeffs: jnp.ndarray, force_device: bool = False) -> jnp.ndarray:
         """coeffs: (..., m, D) with m <= n; zero-padded to n automatically."""

@@ -13,6 +13,7 @@ powers of z (exact in a field, no sequential recurrence).
 from __future__ import annotations
 
 import jax
+import math
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,17 +23,44 @@ from ..fields.fp import device_field, ints_to_digits
 from .domain import Radix2Domain, get_domain
 
 
-class Poly:
-    """coeffs: (len, D) uint32 Montgomery digits, trailing zeros trimmed."""
+_PACK_MIN_ROWS = 1 << 16
 
-    __slots__ = ("spec", "df", "coeffs")
+
+class Poly:
+    """coeffs: (len, D) uint32 Montgomery digits, trailing zeros trimmed.
+
+    Storage: XLA:TPU lane-pads the D-digit minor dim of every at-rest array
+    to 128 lanes (8x HBM for Fr's D = 16), so large coefficient arrays are
+    held PACKED as (m/k, k*D) with k*D a multiple of 128 (a pure reshape) —
+    at a 2^20-gate PLONK circuit this is the difference between ~9 GB and
+    ~1.2 GB of resident polynomials.  The `coeffs` property unpacks on
+    access (a transient relayout, bandwidth-cost only)."""
+
+    __slots__ = ("spec", "df", "_raw", "_packed")
 
     def __init__(self, spec: FieldSpec, coeffs: jnp.ndarray, trim: bool = True):
         self.spec = spec
         self.df = device_field(spec)
         if trim and coeffs.shape[0]:
             coeffs = self._trim(coeffs)
-        self.coeffs = coeffs
+        n, D = coeffs.shape
+        k = 128 // math.gcd(D, 128)
+        if n >= _PACK_MIN_ROWS and k > 1:
+            m = -(-n // k) * k
+            if m != n:
+                coeffs = jnp.pad(coeffs, ((0, m - n), (0, 0)))
+            self._raw = None
+            self._packed = (coeffs.reshape(m // k, k * D), n, D)
+        else:
+            self._raw = coeffs
+            self._packed = None
+
+    @property
+    def coeffs(self) -> jnp.ndarray:
+        if self._raw is not None:
+            return self._raw
+        arr2d, n, D = self._packed
+        return arr2d.reshape(-1, D)[:n]
 
     # -- construction --
 
