@@ -126,7 +126,9 @@ def msm_proj_impl(scalars_u32: jnp.ndarray, X, Y, Z, c: int = 8, fq=None):
     num_windows = digits.shape[0]
     cat = jnp.concatenate([X, Y, Z], axis=1)  # (N, 3D): one gather per window
 
-    # per-window partials via scan: the graph carries ONE window body
+    # per-window partials via scan: the graph carries ONE window body.
+    # (A hoisted batched (W, N) sort before the scan was measured SLOWER —
+    # 2.22 s vs 2.03 s at 2^20 — the in-scan per-window argsort stays.)
     def scan_body(carry, ids):
         pX, pY, pZ = _window_partial(ids, cat, c, fq=fq)
         return carry, (pX, pY, pZ)
