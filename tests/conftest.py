@@ -19,16 +19,16 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# The zstandard writer (compilation_cache.put_executable_and_time ->
+# zstandard.backend_c) segfaults on this box for some freshly compiled
+# XLA:CPU executables (observed twice in round 5 for the affine-MSM graph).
+# Blocking the module BEFORE jax imports makes jax._src.compilation_cache
+# fall back to zlib (compilation_cache.py:191-198) — same cache, safe
+# writer, warm reruns.  Old zstd-compressed entries read as cache misses.
+import sys
+
+sys.modules["zstandard"] = None  # noqa: E402  (must precede `import jax`)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-
-# The persistent compile cache's WRITE path (compilation_cache.
-# put_executable_and_time -> zstd) segfaults on this box for some freshly
-# compiled XLA:CPU executables (observed for the digit-major mont-mul kernel
-# and the affine MSM graph).  Keep cache READS (warm runs stay fast) but
-# never write: raise the min-compile-time threshold beyond any real compile.
-# The env var makes zktpu/__init__.py (imported AFTER this file, and which
-# otherwise re-enables writes) preserve the setting.
-os.environ["ZKTPU_CACHE_WRITE"] = "0"
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
