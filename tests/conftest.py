@@ -19,16 +19,20 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
-# The zstandard writer (compilation_cache.put_executable_and_time ->
-# zstandard.backend_c) segfaults on this box for some freshly compiled
-# XLA:CPU executables (observed twice in round 5 for the affine-MSM graph).
-# Blocking the module BEFORE jax imports makes jax._src.compilation_cache
-# fall back to zlib (compilation_cache.py:191-198) — same cache, safe
-# writer, warm reruns.  Old zstd-compressed entries read as cache misses.
-import sys
-
-sys.modules["zstandard"] = None  # noqa: E402  (must precede `import jax`)
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The compile-cache writer (compilation_cache.put_executable_and_time ->
+# zstandard.backend_c / executable.serialize) has segfaulted this box for
+# some freshly compiled XLA:CPU executables (three times in round 5, always
+# ~60 tests into the full suite around the affine-MSM graph; never in
+# isolation).  Force the cache onto the pure-python zlib compressor by
+# nulling the module globals compress/decompress_executable check —
+# sys.modules blocking is useless here because the axon sitecustomize
+# imports jax (and thus zstandard) at interpreter startup, before any
+# conftest runs.  Old zstd-compressed entries read as cache misses.
+import jax._src.compilation_cache as _cc  # noqa: E402
+
+_cc.zstandard = None
+_cc.zstd = None
