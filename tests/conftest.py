@@ -23,16 +23,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# The compile-cache writer (compilation_cache.put_executable_and_time ->
-# zstandard.backend_c / executable.serialize) has segfaulted this box for
-# some freshly compiled XLA:CPU executables (three times in round 5, always
-# ~60 tests into the full suite around the affine-MSM graph; never in
-# isolation).  Force the cache onto the pure-python zlib compressor by
-# nulling the module globals compress/decompress_executable check —
-# sys.modules blocking is useless here because the axon sitecustomize
-# imports jax (and thus zstandard) at interpreter startup, before any
-# conftest runs.  Old zstd-compressed entries read as cache misses.
-import jax._src.compilation_cache as _cc  # noqa: E402
-
-_cc.zstandard = None
-_cc.zstd = None
+# XLA:CPU `executable.serialize()` SEGFAULTS on this box for certain
+# executables (compilation_cache.py:265; reproduced four times in round 5,
+# always ~60 tests into the full suite at the affine-MSM graph, never in
+# isolation; nulling the zstd compressor did NOT help, pinning the fault in
+# serialize itself).  The only robust mitigation is to never write cache
+# entries from CPU test processes — serialize is only called on the write
+# path.  Reads stay enabled; TPU bench processes (separate interpreters,
+# no conftest) keep their warm cache.  The env var makes zktpu/__init__.py
+# (imported after this file) preserve the setting instead of re-enabling
+# writes at import time.
+os.environ["ZKTPU_CACHE_WRITE"] = "0"
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
